@@ -1,0 +1,204 @@
+"""Configuration for the whole framework.
+
+One frozen dataclass reproducing every value of the reference's config module
+(ref: constants.py:1-84) exactly, plus TPU-specific knobs the reference never
+needed (mesh shape, dtype policy, kernel selection).  The reference's config
+mechanism is "edit constants.py and star-import it everywhere"; here the
+config is an explicit immutable object threaded through every API, with
+`default_config()` matching the reference values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Mapping, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Style taxonomy (ref: constants.py:4-40): 3 genres, 23 composer styles.
+# ---------------------------------------------------------------------------
+
+GENRES: Tuple[str, ...] = ("baroque", "classical", "romantic")
+
+STYLES: Tuple[Tuple[str, ...], ...] = (
+    (
+        "data/baroque/bach",
+        "data/baroque/handel",
+        "data/baroque/pachelbel",
+    ),
+    (
+        "data/classical/burgmueller",
+        "data/classical/clementi",
+        "data/classical/haydn",
+        "data/classical/beethoven",
+        "data/classical/brahms",
+        "data/classical/mozart",
+    ),
+    (
+        "data/romantic/balakirew",
+        "data/romantic/borodin",
+        "data/romantic/brahms",
+        "data/romantic/chopin",
+        "data/romantic/debussy",
+        "data/romantic/liszt",
+        "data/romantic/mendelssohn",
+        "data/romantic/moszkowski",
+        "data/romantic/mussorgsky",
+        "data/romantic/rachmaninov",
+        "data/romantic/schubert",
+        "data/romantic/schumann",
+        "data/romantic/tchaikovsky",
+        "data/romantic/tschai",
+    ),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Every hyperparameter of the framework.
+
+    Field-for-field parity with the reference's constants (ref:
+    constants.py:42-84); defaults below are exactly the reference's values.
+    TPU-only fields are grouped at the bottom.
+    """
+
+    # --- Style taxonomy -------------------------------------------------
+    genres: Tuple[str, ...] = GENRES
+    styles: Tuple[Tuple[str, ...], ...] = STYLES
+
+    # --- MIDI resolution (ref: constants.py:44-47) ----------------------
+    default_res: int = 96          # ticks per quarter note of typical input
+    midi_max_notes: int = 128      # full MIDI pitch space
+    max_velocity: int = 127
+
+    # --- Pitch range (ref: constants.py:49-56) --------------------------
+    num_octaves: int = 4
+    octave: int = 12
+    min_note: int = 36             # MIDI note number of lowest modeled pitch
+
+    # --- Time grid (ref: constants.py:58-63) ----------------------------
+    beats_per_bar: int = 4
+    notes_per_beat: int = 4        # 16th-note grid
+
+    # --- Training geometry (ref: constants.py:65-67) --------------------
+    batch_size: int = 16
+    bars_per_seq: int = 8          # SEQ_LEN = 8 bars * 16 steps = 128
+
+    # --- Model dims (ref: constants.py:69-77) ---------------------------
+    octave_units: int = 64
+    style_units: int = 64
+    note_units: int = 3            # (play, replay, volume)
+    time_axis_units: int = 256
+    note_axis_units: int = 128
+    time_axis_layers: int = 2
+    note_axis_layers: int = 2
+
+    # --- Dropout (ref: model.py:128) ------------------------------------
+    input_dropout: float = 0.2
+    dropout: float = 0.5
+
+    # --- Optimizer: Keras 'nadam' defaults (ref: model.py:152) ----------
+    learning_rate: float = 2e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-7              # keras.backend.epsilon era default
+    schedule_decay: float = 0.004
+
+    # --- Training driver (ref: train.py:22-29) --------------------------
+    epochs: int = 1000
+    early_stop_patience: int = 5
+
+    # --- Paths (ref: constants.py:79-84) --------------------------------
+    out_dir: str = "out"
+
+    # --- TPU-native knobs (no reference counterpart) --------------------
+    # Compute dtype for matmuls/activations; params and optimizer state stay
+    # float32.  bfloat16 keeps the MXU fed at full rate.
+    compute_dtype: str = "bfloat16"
+    # Name of the data-parallel mesh axis.
+    data_axis: str = "data"
+    # Use the fused Pallas LSTM kernel where applicable ("auto" picks it on
+    # TPU backends, plain lax.scan elsewhere).
+    lstm_kernel: str = "auto"      # "auto" | "pallas" | "xla"
+    # Octave-transpose data augmentation (flag off for parity runs).
+    transpose_augment: int = 0     # max semitone shift (0 disables)
+
+    # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
+    @property
+    def num_styles(self) -> int:
+        return sum(len(s) for s in self.styles)
+
+    @property
+    def max_note(self) -> int:
+        return self.min_note + self.num_octaves * self.octave
+
+    @property
+    def num_notes(self) -> int:
+        return self.max_note - self.min_note
+
+    @property
+    def notes_per_bar(self) -> int:
+        return self.notes_per_beat * self.beats_per_bar
+
+    @property
+    def seq_len(self) -> int:
+        return self.bars_per_seq * self.notes_per_bar
+
+    # --- Derived paths (ref: constants.py:80-84) ------------------------
+    @property
+    def model_dir(self) -> str:
+        return os.path.join(self.out_dir, "models")
+
+    @property
+    def model_file(self) -> str:
+        return os.path.join(self.out_dir, "model.ckpt")
+
+    @property
+    def samples_dir(self) -> str:
+        return os.path.join(self.out_dir, "samples")
+
+    @property
+    def cache_dir(self) -> str:
+        return os.path.join(self.out_dir, "cache")
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.out_dir, "logs")
+
+    # --- Style helpers ---------------------------------------------------
+    @property
+    def flat_styles(self) -> Tuple[str, ...]:
+        """All style directories flattened (ref: dataset.py:51)."""
+        return tuple(y for x in self.styles for y in x)
+
+    @property
+    def genre_of_style(self) -> Tuple[int, ...]:
+        """Genre index of each flattened style."""
+        return tuple(g for g, s in enumerate(self.styles) for _ in s)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> Mapping[str, object]:
+        return dataclasses.asdict(self)
+
+
+def default_config() -> Config:
+    """The reference configuration (ref: constants.py)."""
+    return Config()
+
+
+def test_config(**overrides) -> Config:
+    """A small config for unit tests: tiny dims, CPU-friendly."""
+    base = dict(
+        batch_size=2,
+        bars_per_seq=1,
+        octave_units=8,
+        style_units=8,
+        time_axis_units=16,
+        note_axis_units=8,
+        compute_dtype="float32",
+        lstm_kernel="xla",
+    )
+    base.update(overrides)
+    return Config(**base)

@@ -1,0 +1,137 @@
+"""Binary Standard-MIDI-File IO tests: serialization round-trips, running
+status, varlen encoding, and the full roll→file→roll loop."""
+
+import io
+
+import numpy as np
+
+from music_generator_tpu import midi
+from music_generator_tpu.midi.io import _read_varlen, _write_varlen
+
+
+def test_varlen_roundtrip():
+    for v in [0, 1, 127, 128, 129, 8191, 8192, 16383, 16384, 2097151, 2097152]:
+        encoded = _write_varlen(v)
+        assert _read_varlen(io.BytesIO(encoded)) == v
+    assert _write_varlen(0) == b"\x00"
+    assert _write_varlen(127) == b"\x7f"
+    assert _write_varlen(128) == b"\x81\x00"
+
+
+def _simple_pattern():
+    track = midi.Track([
+        midi.SetTempoEvent(tick=0, mpqn=500_000),
+        midi.TimeSignatureEvent(tick=0, numerator=4, denominator=4),
+        midi.NoteOnEvent(tick=0, velocity=100, pitch=60),
+        midi.NoteOnEvent(tick=48, velocity=90, pitch=64),
+        midi.NoteOffEvent(tick=48, pitch=60),
+        midi.NoteOffEvent(tick=0, pitch=64),
+        midi.EndOfTrackEvent(tick=10),
+    ])
+    return midi.Pattern([track], resolution=96)
+
+
+def test_write_read_roundtrip():
+    pattern = _simple_pattern()
+    buf = io.BytesIO()
+    midi.write_midifile(buf, pattern)
+    buf.seek(0)
+    back = midi.read_midifile(buf)
+
+    assert back.resolution == 96
+    assert len(back) == 1
+    assert list(back[0]) == list(pattern[0])
+
+
+def test_write_is_deterministic():
+    pattern = _simple_pattern()
+    a, b = io.BytesIO(), io.BytesIO()
+    midi.write_midifile(a, pattern)
+    midi.write_midifile(b, pattern)
+    assert a.getvalue() == b.getvalue()
+
+
+def test_running_status_parse():
+    """Hand-built track bytes using running status must parse correctly."""
+    track_bytes = bytes([
+        0x00, 0x90, 60, 100,   # NoteOn ch0 pitch 60
+        0x10, 62, 90,          # running status: NoteOn pitch 62
+        0x20, 0x80, 60, 0,     # NoteOff
+        0x00, 62, 0,           # running status NoteOff
+        0x00, 0xFF, 0x2F, 0x00,
+    ])
+    data = (b"MThd" + (6).to_bytes(4, "big")
+            + (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+            + (96).to_bytes(2, "big")
+            + b"MTrk" + len(track_bytes).to_bytes(4, "big") + track_bytes)
+    pattern = midi.read_midifile(io.BytesIO(data))
+    events = pattern[0]
+    assert isinstance(events[0], midi.NoteOnEvent) and events[0].pitch == 60
+    assert isinstance(events[1], midi.NoteOnEvent) and events[1].pitch == 62
+    assert events[1].tick == 0x10
+    assert isinstance(events[2], midi.NoteOffEvent) and events[2].pitch == 60
+    assert isinstance(events[3], midi.NoteOffEvent) and events[3].pitch == 62
+    assert isinstance(events[4], midi.EndOfTrackEvent)
+
+
+def test_unknown_events_preserved():
+    """Control-change / program-change / pitch-bend / generic meta events
+    survive a write→read round trip (real corpora contain them)."""
+    from music_generator_tpu.midi.events import (
+        ControlChangeEvent, MetaEvent, PitchWheelEvent, ProgramChangeEvent)
+    track = midi.Track([
+        MetaEvent(tick=0, meta_type=0x03, payload=b"track name"),
+        ProgramChangeEvent(tick=0, value=0),
+        ControlChangeEvent(tick=5, control=64, value=127),
+        PitchWheelEvent(tick=2, pitch_bend=0x1234),
+        midi.NoteOnEvent(tick=0, velocity=80, pitch=40),
+        midi.EndOfTrackEvent(tick=0),
+    ])
+    pattern = midi.Pattern([track], resolution=480)
+    buf = io.BytesIO()
+    midi.write_midifile(buf, pattern)
+    buf.seek(0)
+    back = midi.read_midifile(buf)
+    assert list(back[0]) == list(track)
+    assert back[0][3].pitch_bend == 0x1234
+
+
+def test_full_roll_file_roll_loop():
+    """roll → encode → write → read → decode reproduces the play channel
+    (the BASELINE byte-identity pipeline, ref: midi_util.py:212-217)."""
+    rng = np.random.default_rng(0)
+    T, P = 32, 8
+    play = np.zeros((T, P))
+    volume = np.zeros((T, P))
+    # Random notes; volume constant per hold (the encoder samples volume only
+    # at onsets, so mid-hold volume changes are lossy by design —
+    # ref: midi_util.py:41-45).
+    for p in range(P):
+        on = int(rng.integers(0, T - 4))
+        dur = int(rng.integers(1, 4))
+        play[on:on + dur, p] = 1
+        # Quantize to the exact velocity grid so decode round-trips exactly.
+        volume[on:on + dur, p] = round(float(rng.uniform(0.3, 1.0)) * 127) / 127
+    replay = np.zeros((T, P))
+    roll = np.stack([play, replay, volume], axis=2)
+
+    pattern = midi.midi_encode(roll, step=1)
+    buf = io.BytesIO()
+    midi.write_midifile(buf, pattern)
+    buf.seek(0)
+    back = midi.read_midifile(buf)
+    decoded = midi.midi_decode(back, P, step=1)
+
+    np.testing.assert_array_equal(decoded[:T, :, 0], play)
+    np.testing.assert_array_almost_equal(decoded[:T, :, 2], volume, decimal=6)
+
+
+def test_write_read_bytes_stable():
+    """write(read(write(p))) is byte-identical to write(p)."""
+    pattern = _simple_pattern()
+    a = io.BytesIO()
+    midi.write_midifile(a, pattern)
+    a.seek(0)
+    b = io.BytesIO()
+    midi.write_midifile(b, midi.read_midifile(a))
+    assert a.getvalue() == b.getvalue()
