@@ -1,0 +1,3 @@
+from music_generator_tpu.utils.util import get_all_files, one_hot
+
+__all__ = ["one_hot", "get_all_files"]
