@@ -1,0 +1,422 @@
+"""The DeepJ biaxial model, TPU-first.
+
+Architecture parity with the reference (ref: model.py:51-169): note-invariant
+features (pitch position, pitch class, chromagram, octave convolution, beat),
+two style-conditioned LSTM layers scanning over TIME (weights shared across
+the 48 notes), two style-conditioned LSTM layers scanning over PITCH (weights
+shared across timesteps), sigmoid (play, replay) + linear volume heads, and
+the masked three-term loss (ref: model.py:14-20).
+
+TPU-first decisions (not translations):
+  * One params pytree serves training and generation — the weight sharing the
+    reference engineered with Keras layer caches (ref: model.py:92-93,110-122)
+    is free in functional JAX.
+  * The time scan folds (batch × notes) into one effective batch of B·48
+    sequences; the note scan folds (batch × time) into B·T sequences — large
+    MXU-shaped matmuls instead of TimeDistributed loops.
+  * The per-sequence input projections run as single [T·B, D]×[D, 4H] matmuls
+    outside the recurrence (ops/lstm.py); the recurrence itself can run as a
+    fused Pallas kernel (ops/pallas_lstm.py).
+  * Deliberate fix vs. the reference: its chromagram feature builder reshapes
+    [48, B, T] → [B, T, 48, 1] rawly, scrambling batch/time/pitch
+    (ref: model.py:43-49 — tf.reshape does not transpose).  We implement the
+    documented intent: per-pitch-class played-note counts, tiled per octave.
+
+Dropout sites and rates match the reference exactly: input dropout 0.2 on
+notes/beat/chosen (ref: model.py:136-138), 0.5 after the octave conv, after
+each broadcast style projection, and after each LSTM (ref: model.py:58,80-85,
+116-123); all disabled at inference, like Keras `predict`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_generator_tpu.config import Config
+from music_generator_tpu.ops.lstm import LSTMParams, lstm_init, lstm_scan, lstm_step
+
+
+# ---------------------------------------------------------------------------
+# Small building blocks
+# ---------------------------------------------------------------------------
+
+class Dense(NamedTuple):
+    kernel: jax.Array
+    bias: jax.Array
+
+
+def dense_init(key, in_dim, out_dim, dtype=jnp.float32) -> Dense:
+    kernel = jax.nn.initializers.glorot_uniform()(key, (in_dim, out_dim), dtype)
+    return Dense(kernel, jnp.zeros((out_dim,), dtype))
+
+
+def dense_apply(p: Dense, x: jax.Array, dt) -> jax.Array:
+    return (x.astype(dt) @ p.kernel.astype(dt) + p.bias.astype(dt))
+
+
+class Conv1D(NamedTuple):
+    kernel: jax.Array   # [width, in_ch, out_ch]
+    bias: jax.Array
+
+
+def conv1d_init(key, width, in_ch, out_ch, dtype=jnp.float32) -> Conv1D:
+    kernel = jax.nn.initializers.glorot_uniform()(
+        key, (width, in_ch, out_ch), dtype)
+    return Conv1D(kernel, jnp.zeros((out_ch,), dtype))
+
+
+def conv1d_same(p: Conv1D, x: jax.Array, dt) -> jax.Array:
+    """'same' 1-D conv over the second-to-last axis of [B, L, C], with
+    Keras's asymmetric padding for even widths (left (w-1)//2, right w//2)."""
+    w = p.kernel.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x.astype(dt), p.kernel.astype(dt),
+        window_strides=(1,),
+        padding=[((w - 1) // 2, w // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return out + p.bias.astype(dt)
+
+
+def dropout(key: Optional[jax.Array], x: jax.Array, rate: float,
+            train: bool) -> jax.Array:
+    if not train or rate <= 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+class AxisLayer(NamedTuple):
+    style_proj: Dense
+    lstm: LSTMParams
+
+
+class Params(NamedTuple):
+    style_embed: Dense            # num_styles → style_units ('style' layer,
+                                  # ref: model.py:141-142)
+    conv: Conv1D                  # octave context conv (ref: model.py:56)
+    time_axis: Tuple[AxisLayer, ...]
+    note_axis: Tuple[AxisLayer, ...]
+    note_dense: Dense             # → (play, replay) sigmoid (ref: model.py:94)
+    volume_dense: Dense           # → volume linear (ref: model.py:95)
+
+
+def feature_dim(cfg: Config) -> int:
+    """pitch_pos(1) + pitch_class(12) + chroma(1) + conv + beat."""
+    return 1 + cfg.octave + 1 + cfg.octave_units + cfg.notes_per_bar
+
+
+def init_params(key: jax.Array, cfg: Config) -> Params:
+    keys = iter(jax.random.split(key, 16))
+    f = feature_dim(cfg)
+
+    time_layers = []
+    d = f
+    for _ in range(cfg.time_axis_layers):
+        time_layers.append(AxisLayer(
+            style_proj=dense_init(next(keys), cfg.style_units, d),
+            lstm=lstm_init(next(keys), d, cfg.time_axis_units)))
+        d = cfg.time_axis_units
+
+    note_layers = []
+    d = cfg.time_axis_units + cfg.note_units
+    for _ in range(cfg.note_axis_layers):
+        note_layers.append(AxisLayer(
+            style_proj=dense_init(next(keys), cfg.style_units, d),
+            lstm=lstm_init(next(keys), d, cfg.note_axis_units)))
+        d = cfg.note_axis_units
+
+    return Params(
+        style_embed=dense_init(next(keys), cfg.num_styles, cfg.style_units),
+        conv=conv1d_init(next(keys), 2 * cfg.octave, cfg.note_units,
+                         cfg.octave_units),
+        time_axis=tuple(time_layers),
+        note_axis=tuple(note_layers),
+        note_dense=dense_init(next(keys), cfg.note_axis_units, 2),
+        volume_dense=dense_init(next(keys), cfg.note_axis_units, 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The model
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DeepJ:
+    """Stateless model namespace bound to a config."""
+
+    cfg: Config
+
+    # -- helpers ----------------------------------------------------------
+
+    def _dt(self):
+        return jnp.dtype(self.cfg.compute_dtype)
+
+    def _kernel(self) -> str:
+        k = self.cfg.lstm_kernel
+        if k != "auto":
+            return k
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    # -- feature builders (ref: model.py:22-49) ---------------------------
+
+    def note_features(self, notes: jax.Array, beat: jax.Array,
+                      conv_out: jax.Array) -> jax.Array:
+        """Concat per-(time, note) features → [B, T, N, F].
+
+        notes: [B, T, N, 3], beat: [B, T, notes_per_bar],
+        conv_out: [B, T, N, octave_units].
+        """
+        cfg = self.cfg
+        B, T, N, _ = notes.shape
+        dt = conv_out.dtype
+
+        # Normalized pitch position (ref: model.py:22-30).
+        pitch_pos = jnp.broadcast_to(
+            (jnp.arange(N, dtype=dt) / N)[None, None, :, None], (B, T, N, 1))
+
+        # Pitch-class one-hot (ref: model.py:32-41).
+        classes = jax.nn.one_hot(jnp.arange(N) % cfg.octave, cfg.octave,
+                                 dtype=dt)
+        pitch_class = jnp.broadcast_to(classes[None, None], (B, T, N, cfg.octave))
+
+        # Chromagram: per pitch class, total play mass across octaves, seen
+        # by every note of that class (intent of ref: model.py:43-49; see
+        # module docstring for the reshape bug we fix).
+        play = notes[..., 0]                              # [B, T, N]
+        bins = play.reshape(B, T, cfg.num_octaves, cfg.octave).sum(axis=2)
+        chroma = jnp.tile(bins, (1, 1, cfg.num_octaves))[..., None].astype(dt)
+
+        # Beat one-hot repeated for every note (ref: model.py:66).
+        beat_rep = jnp.broadcast_to(beat[:, :, None, :].astype(dt),
+                                    (B, T, N, beat.shape[-1]))
+
+        return jnp.concatenate(
+            [pitch_pos, pitch_class, chroma, conv_out, beat_rep], axis=-1)
+
+    def octave_conv(self, params: Params, notes: jax.Array,
+                    rng, train: bool) -> jax.Array:
+        """tanh(Conv1D over the note axis) + dropout (ref: model.py:56-58)."""
+        B, T, N, C = notes.shape
+        x = notes.reshape(B * T, N, C)
+        out = jnp.tanh(conv1d_same(params.conv, x, self._dt()))
+        out = out.reshape(B, T, N, -1)
+        return dropout(_sub(rng, "conv"), out, self.cfg.dropout, train)
+
+    # -- style ------------------------------------------------------------
+
+    def style_embedding(self, params: Params, style: jax.Array) -> jax.Array:
+        """The shared 'style' Dense layer (ref: model.py:141-142)."""
+        return dense_apply(params.style_embed, style, self._dt())
+
+    def _style_add(self, layer: AxisLayer, x: jax.Array, style_emb: jax.Array,
+                   rng, train: bool, site: str) -> jax.Array:
+        """Per-layer style integration: Dense → broadcast per note → tanh →
+        dropout → add (ref: model.py:77-82, 110-117).  x: [B, T, N, F],
+        style_emb: [B, T, style_units] (or [B, F']-free shapes broadcastable
+        to x after note-axis expansion)."""
+        proj = dense_apply(layer.style_proj, style_emb, self._dt())
+        proj = jnp.tanh(proj)[..., None, :]            # broadcast over notes
+        proj = jnp.broadcast_to(proj, x.shape)
+        proj = dropout(_sub(rng, site), proj, self.cfg.dropout, train)
+        return x + proj
+
+    # -- time axis (ref: model.py:51-89) ----------------------------------
+
+    def time_axis(self, params: Params, notes: jax.Array, beat: jax.Array,
+                  style_emb: jax.Array, rng=None, train: bool = False) -> jax.Array:
+        """[B, T, N, 3] → [B, T, N, time_axis_units]."""
+        cfg = self.cfg
+        B, T, N, _ = notes.shape
+
+        conv_out = self.octave_conv(params, notes, rng, train)
+        x = self.note_features(notes, beat, conv_out)
+
+        for l, layer in enumerate(params.time_axis):
+            x = self._style_add(layer, x, style_emb, rng, train, f"tstyle{l}")
+            # Scan over time; (batch × notes) is the effective batch.
+            xs = x.transpose(1, 0, 2, 3).reshape(T, B * N, x.shape[-1])
+            hs, _ = lstm_scan(layer.lstm, xs, compute_dtype=self._dt(),
+                              kernel=self._kernel())
+            x = hs.reshape(T, B, N, -1).transpose(1, 0, 2, 3)
+            x = dropout(_sub(rng, f"tdrop{l}"), x, cfg.dropout, train)
+        return x
+
+    # -- note axis (ref: model.py:91-126) ---------------------------------
+
+    def note_axis(self, params: Params, time_out: jax.Array, chosen: jax.Array,
+                  style_emb: jax.Array, rng=None, train: bool = False) -> jax.Array:
+        """[B, T, N, time_units] + teacher-forced targets → [B, T, N, 3]."""
+        cfg = self.cfg
+        B, T, N, _ = time_out.shape
+
+        # Shift targets one NOTE down so note n conditions on notes < n
+        # (ref: model.py:100-104).
+        shift_chosen = jnp.pad(chosen[:, :, :-1, :],
+                               ((0, 0), (0, 0), (1, 0), (0, 0)))
+        x = jnp.concatenate([time_out, shift_chosen.astype(time_out.dtype)],
+                            axis=-1)
+
+        for l, layer in enumerate(params.note_axis):
+            x = self._style_add(layer, x, style_emb, rng, train, f"nstyle{l}")
+            # Scan over notes; (batch × time) is the effective batch.
+            xs = x.transpose(2, 0, 1, 3).reshape(N, B * T, x.shape[-1])
+            hs, _ = lstm_scan(layer.lstm, xs, compute_dtype=self._dt(),
+                              kernel=self._kernel())
+            x = hs.reshape(N, B, T, -1).transpose(1, 2, 0, 3)
+            x = dropout(_sub(rng, f"ndrop{l}"), x, cfg.dropout, train)
+
+        return self.heads(params, x)
+
+    def heads(self, params: Params, x: jax.Array) -> jax.Array:
+        """sigmoid(play, replay) ++ linear volume (ref: model.py:94-95,125)."""
+        dt = self._dt()
+        notes_out = jax.nn.sigmoid(dense_apply(params.note_dense, x, dt))
+        volume_out = dense_apply(params.volume_dense, x, dt)
+        return jnp.concatenate([notes_out, volume_out], axis=-1).astype(
+            jnp.float32)
+
+    # -- full forward (training graph, ref: model.py:128-152) -------------
+
+    def forward(self, params: Params, notes: jax.Array, chosen: jax.Array,
+                beat: jax.Array, style: jax.Array, rng=None,
+                train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        notes = dropout(_sub(rng, "in_notes"), notes, cfg.input_dropout, train)
+        beat = dropout(_sub(rng, "in_beat"), beat, cfg.input_dropout, train)
+        chosen = dropout(_sub(rng, "in_chosen"), chosen, cfg.input_dropout, train)
+
+        style_emb = self.style_embedding(params, style)
+        time_out = self.time_axis(params, notes, beat, style_emb, rng, train)
+        return self.note_axis(params, time_out, chosen, style_emb, rng, train)
+
+    # -- loss (ref: model.py:14-20) ---------------------------------------
+
+    def loss(self, params: Params, batch, rng=None,
+             train: bool = True) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        notes, targets, beats, styles = batch
+        preds = self.forward(params, notes, targets, beats, styles, rng, train)
+        return primary_loss(targets, preds)
+
+    # -- streaming single-step paths (generation) --------------------------
+
+    def init_time_state(self, batch: int) -> Tuple:
+        """Per-layer (h, c) for the time-axis LSTMs; effective batch is
+        (generations × notes)."""
+        cfg = self.cfg
+        return tuple(
+            (jnp.zeros((batch * cfg.num_notes, cfg.time_axis_units), jnp.float32),
+             jnp.zeros((batch * cfg.num_notes, cfg.time_axis_units), jnp.float32))
+            for _ in range(cfg.time_axis_layers))
+
+    def time_axis_step(self, params: Params, note_row: jax.Array,
+                       beat_row: jax.Array, style_emb: jax.Array,
+                       state: Tuple) -> Tuple[jax.Array, Tuple]:
+        """One streaming timestep of the time axis.
+
+        note_row: [G, N, 3] (the notes chosen at the previous step),
+        beat_row: [G, notes_per_bar], style_emb: [G, style_units].
+        Returns ([G, N, time_units], new_state).  This carries O(1) recurrent
+        state instead of recomputing a 128-step window every step
+        (ref: generate.py:106-109 — the host-loop architecture this replaces).
+        """
+        cfg = self.cfg
+        G, N, _ = note_row.shape
+        notes = note_row[:, None]                     # [G, 1, N, 3]
+        beat = beat_row[:, None]                      # [G, 1, npb]
+
+        conv_out = self.octave_conv(params, notes, None, False)
+        x = self.note_features(notes, beat, conv_out)[:, 0]   # [G, N, F]
+
+        new_state = []
+        for layer, (h, c) in zip(params.time_axis, state):
+            proj = jnp.tanh(dense_apply(layer.style_proj, style_emb, self._dt()))
+            x = x + proj[:, None, :]
+            xin = x.reshape(G * N, x.shape[-1])
+            h, c = lstm_step(layer.lstm, xin, h, c, compute_dtype=self._dt())
+            new_state.append((h, c))
+            x = h.reshape(G, N, -1)
+        return x, tuple(new_state)
+
+    def init_note_state(self, batch: int) -> Tuple:
+        cfg = self.cfg
+        return tuple(
+            (jnp.zeros((batch, cfg.note_axis_units), jnp.float32),
+             jnp.zeros((batch, cfg.note_axis_units), jnp.float32))
+            for _ in range(cfg.note_axis_layers))
+
+    def note_axis_cell(self, params: Params, feat_n: jax.Array,
+                       prev_chosen: jax.Array, style_emb: jax.Array,
+                       state: Tuple) -> Tuple[jax.Array, Tuple]:
+        """One note of the pitch recurrence during generation.
+
+        feat_n: [G, time_units] (time-axis features of note n),
+        prev_chosen: [G, 3] (the sampled note n−1; zeros for n=0).
+        Returns ([G, 3] prediction for note n, new state).
+        """
+        x = jnp.concatenate([feat_n, prev_chosen.astype(feat_n.dtype)], axis=-1)
+        new_state = []
+        for layer, (h, c) in zip(params.note_axis, state):
+            proj = jnp.tanh(dense_apply(layer.style_proj, style_emb, self._dt()))
+            x = x + proj
+            h, c = lstm_step(layer.lstm, x, h, c, compute_dtype=self._dt())
+            new_state.append((h, c))
+            x = h
+        return self.heads(params, x), tuple(new_state)
+
+
+def primary_loss(y_true: jax.Array,
+                 y_pred: jax.Array) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """BCE(play) + masked BCE(replay) + masked MSE(volume)
+    (ref: model.py:14-20).
+
+    The mask replaces the prediction with the target wherever the play target
+    is 0 — zeroing the gradient exactly, not just downweighting — matching
+    `played*pred + (1-played)*true` (ref: model.py:18-19).  BCE clips
+    probabilities at 1e-7 like keras.backend.binary_crossentropy.
+    """
+    played = y_true[..., 0]
+
+    def bce(t, p):
+        p = jnp.clip(p, 1e-7, 1 - 1e-7)
+        return -(t * jnp.log(p) + (1 - t) * jnp.log1p(-p))
+
+    bce_note = bce(y_true[..., 0], y_pred[..., 0])
+    replay_masked = played * y_pred[..., 1] + (1 - played) * y_true[..., 1]
+    bce_replay = bce(y_true[..., 1], replay_masked)
+    vol_masked = played * y_pred[..., 2] + (1 - played) * y_true[..., 2]
+    mse = jnp.square(y_true[..., 2] - vol_masked)
+
+    total = jnp.mean(bce_note + bce_replay + mse)
+    metrics = {
+        "loss": total,
+        "bce_play": jnp.mean(bce_note),
+        "bce_replay": jnp.mean(bce_replay),
+        "mse_volume": jnp.mean(mse),
+    }
+    return total, metrics
+
+
+def _sub(rng: Optional[jax.Array], name: str) -> Optional[jax.Array]:
+    """Deterministic per-site RNG stream."""
+    if rng is None:
+        return None
+    return jax.random.fold_in(rng, _site_id(name))
+
+
+_SITE_IDS: Dict[str, int] = {}
+
+
+def _site_id(name: str) -> int:
+    if name not in _SITE_IDS:
+        _SITE_IDS[name] = len(_SITE_IDS) + 1
+    return _SITE_IDS[name]

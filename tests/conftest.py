@@ -1,12 +1,22 @@
 """Test configuration: force an 8-device CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4)."""
+paths are exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment's sitecustomize force-registers a TPU PJRT plugin in
+every Python process (and sets JAX_PLATFORMS=axon), so a plain env-var
+default is not enough — we must both set the env before `import jax` AND
+override the config in-process."""
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Keep the TPU-tunnel plugin from hijacking the test process.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

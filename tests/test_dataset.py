@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from music_generator_tpu import midi
-from music_generator_tpu.config import default_config, test_config
+from music_generator_tpu.config import default_config
 from music_generator_tpu.data import (
     batches,
     clamp_midi,

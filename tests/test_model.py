@@ -1,0 +1,189 @@
+"""Model tests: shapes, loss masking vs. a numpy oracle, gradient masking,
+and — crucially — equivalence between the batched training graph and the
+streaming single-step generation path (the weight-sharing contract the
+reference engineered with Keras layer caches, ref: model.py:92-93,155-167)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music_generator_tpu.config import test_config as small_config
+from music_generator_tpu.models.deepj import (
+    DeepJ,
+    Params,
+    init_params,
+    feature_dim,
+    primary_loss,
+)
+
+CFG = small_config()
+MODEL = DeepJ(CFG)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(0), CFG)
+
+
+def _batch(key, B=2, T=None):
+    T = T or CFG.seq_len
+    N = CFG.num_notes
+    ks = jax.random.split(key, 4)
+    notes = jax.random.bernoulli(ks[0], 0.1, (B, T, N, 3)).astype(jnp.float32)
+    chosen = jax.random.bernoulli(ks[1], 0.1, (B, T, N, 3)).astype(jnp.float32)
+    beat = jax.nn.one_hot(jnp.arange(T) % CFG.notes_per_bar, CFG.notes_per_bar)
+    beat = jnp.broadcast_to(beat[None], (B, T, CFG.notes_per_bar))
+    style = jnp.broadcast_to(
+        jax.nn.one_hot(jnp.array([0]), CFG.num_styles)[:, None],
+        (B, T, CFG.num_styles)).astype(jnp.float32)
+    return notes, chosen, beat, style
+
+
+def test_forward_shapes(params):
+    notes, chosen, beat, style = _batch(jax.random.key(1))
+    preds = MODEL.forward(params, notes, chosen, beat, style)
+    assert preds.shape == notes.shape
+    # play/replay are probabilities.
+    assert (preds[..., :2] >= 0).all() and (preds[..., :2] <= 1).all()
+    assert preds.dtype == jnp.float32
+
+
+def test_forward_train_uses_dropout(params):
+    notes, chosen, beat, style = _batch(jax.random.key(2))
+    p1 = MODEL.forward(params, notes, chosen, beat, style,
+                       rng=jax.random.key(3), train=True)
+    p2 = MODEL.forward(params, notes, chosen, beat, style,
+                       rng=jax.random.key(4), train=True)
+    assert not np.allclose(p1, p2)
+    # And inference is deterministic.
+    p3 = MODEL.forward(params, notes, chosen, beat, style)
+    p4 = MODEL.forward(params, notes, chosen, beat, style)
+    np.testing.assert_array_equal(p3, p4)
+
+
+def test_primary_loss_against_numpy_oracle():
+    rng = np.random.default_rng(0)
+    shape = (2, 4, 6)
+    y_true = np.stack([
+        rng.integers(0, 2, shape).astype(np.float64),
+        rng.integers(0, 2, shape).astype(np.float64),
+        rng.uniform(0, 1, shape),
+    ], axis=-1)
+    y_pred = np.stack([
+        rng.uniform(0.01, 0.99, shape),
+        rng.uniform(0.01, 0.99, shape),
+        rng.uniform(0, 1, shape),
+    ], axis=-1)
+
+    total, metrics = primary_loss(jnp.array(y_true), jnp.array(y_pred))
+
+    # Oracle written directly from the formula (ref: model.py:14-20).
+    played = y_true[..., 0]
+    eps = 1e-7
+
+    def bce(t, p):
+        p = np.clip(p, eps, 1 - eps)
+        return -(t * np.log(p) + (1 - t) * np.log(1 - p))
+
+    t1 = bce(y_true[..., 0], y_pred[..., 0])
+    t2 = bce(y_true[..., 1],
+             played * y_pred[..., 1] + (1 - played) * y_true[..., 1])
+    t3 = (y_true[..., 2]
+          - (played * y_pred[..., 2] + (1 - played) * y_true[..., 2])) ** 2
+    expected = np.mean(t1 + t2 + t3)
+    np.testing.assert_allclose(float(total), expected, rtol=1e-5)
+
+
+def test_loss_masking_zeroes_gradients():
+    """Where play target is 0, replay/volume predictions must receive ZERO
+    gradient — the subtle part of ref: model.py:18-19."""
+    y_true = jnp.zeros((1, 1, 2, 3))          # nothing played
+    y_pred = jnp.full((1, 1, 2, 3), 0.5)
+
+    def replay_vol_loss(p):
+        total, _ = primary_loss(y_true, p)
+        return total
+
+    g = jax.grad(replay_vol_loss)(y_pred)
+    # Play-channel gradient is nonzero; replay/volume gradients are exactly 0.
+    assert np.abs(g[..., 0]).min() > 0
+    np.testing.assert_array_equal(g[..., 1], 0)
+    np.testing.assert_array_equal(g[..., 2], 0)
+
+    # With play=1 everywhere, replay/volume gradients flow.
+    y_true_on = y_true.at[..., 0].set(1.0)
+    g_on = jax.grad(lambda p: primary_loss(y_true_on, p)[0])(y_pred)
+    assert np.abs(g_on[..., 1]).min() > 0
+    assert np.abs(g_on[..., 2]).min() > 0
+
+
+def test_streaming_time_axis_matches_batched(params):
+    """time_axis over a full sequence == repeated time_axis_step carrying
+    state (the training/generation weight-sharing contract)."""
+    B, T = 2, 6
+    notes, chosen, beat, style = _batch(jax.random.key(5), B=B, T=T)
+    style_emb = MODEL.style_embedding(params, style)
+
+    batched = MODEL.time_axis(params, notes, beat, style_emb)
+
+    state = MODEL.init_time_state(B)
+    outs = []
+    for t in range(T):
+        feat, state = MODEL.time_axis_step(
+            params, notes[:, t], beat[:, t], style_emb[:, t], state)
+        outs.append(feat)
+    streamed = jnp.stack(outs, axis=1)
+
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(streamed),
+                               atol=1e-5)
+
+
+def test_streaming_note_axis_matches_batched(params):
+    """note_axis over the full grid == note_axis_cell scanned over pitches
+    per timestep (teacher-forced chosen)."""
+    B, T = 2, 3
+    N = CFG.num_notes
+    notes, chosen, beat, style = _batch(jax.random.key(6), B=B, T=T)
+    style_emb = MODEL.style_embedding(params, style)
+    time_out = MODEL.time_axis(params, notes, beat, style_emb)
+
+    batched = MODEL.note_axis(params, time_out, chosen, style_emb)
+
+    for t in range(T):
+        state = MODEL.init_note_state(B)
+        prev = jnp.zeros((B, 3))
+        for n in range(N):
+            pred, state = MODEL.note_axis_cell(
+                params, time_out[:, t, n], prev, style_emb[:, t], state)
+            np.testing.assert_allclose(
+                np.asarray(batched[:, t, n]), np.asarray(pred), atol=1e-5)
+            prev = chosen[:, t, n]
+
+
+def test_feature_dim():
+    assert feature_dim(CFG) == 1 + 12 + 1 + CFG.octave_units + 16
+
+
+def test_chromagram_is_pitch_class_correct(params):
+    """Each note's chroma feature equals the play count of its pitch class
+    (the documented intent of ref: model.py:43-49)."""
+    B, T, N = 1, 1, CFG.num_notes
+    notes = jnp.zeros((B, T, N, 3))
+    # Activate pitch class 5 in two octaves.
+    notes = notes.at[0, 0, 5, 0].set(1.0).at[0, 0, 17, 0].set(1.0)
+    beat = jnp.zeros((B, T, CFG.notes_per_bar))
+    conv = jnp.zeros((B, T, N, CFG.octave_units))
+    feats = MODEL.note_features(notes, beat, conv)
+    chroma = feats[..., 13]        # 1 pitch_pos + 12 pitch_class → index 13
+    for n in range(N):
+        expected = 2.0 if n % 12 == 5 else 0.0
+        assert float(chroma[0, 0, n]) == expected
+
+
+def test_jit_forward(params):
+    notes, chosen, beat, style = _batch(jax.random.key(7))
+    f = jax.jit(lambda p, *a: MODEL.forward(p, *a))
+    preds = f(params, notes, chosen, beat, style)
+    ref = MODEL.forward(params, notes, chosen, beat, style)
+    np.testing.assert_allclose(np.asarray(preds), np.asarray(ref), atol=1e-5)
