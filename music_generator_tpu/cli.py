@@ -1,0 +1,107 @@
+"""Command-line entry points.
+
+`train` is zero-arg like the reference (ref: train.py:14-29, which defines no
+flags); `generate` exposes --bars/--styles with identical semantics to
+ref: generate.py:137-148; `visualize` exports the style-embedding TSVs
+(ref: visualize.py:11-43).  A few TPU-era extras (--seed, --epochs,
+--temperature, --out) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from music_generator_tpu.config import Config, default_config
+from music_generator_tpu.data.dataset import compute_genre, load_all
+from music_generator_tpu.generation.sampler import Sampler, write_file
+from music_generator_tpu.models.deepj import DeepJ
+from music_generator_tpu.training.checkpoint import build_or_load
+from music_generator_tpu.training.trainer import TrainConfig, Trainer
+from music_generator_tpu.utils import one_hot
+
+
+def train_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Trains the model.")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Max epochs (default: config value, 1000)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-resume", action="store_true",
+                        help="Skip loading an existing checkpoint")
+    args = parser.parse_args(argv)
+
+    cfg = default_config()
+    model = DeepJ(cfg)
+
+    print("Loading data")
+    ds = load_all(cfg.styles, cfg.seq_len, cfg)
+    print(f"{len(ds)} training windows")
+
+    trainer = Trainer(model, TrainConfig(seed=args.seed))
+    if not args.no_resume:
+        trainer.maybe_restore()
+
+    print("Training")
+    trainer.fit(ds, epochs=args.epochs)
+
+
+def generate_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Generates music.")
+    parser.add_argument("--bars", default=32, type=int,
+                        help="Number of bars to generate")
+    parser.add_argument("--styles", default=None, type=int, nargs="+",
+                        help="Styles to mix together")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--out", type=str, default="output",
+                        help="Output file name prefix")
+    args = parser.parse_args(argv)
+
+    cfg = default_config()
+    model = DeepJ(cfg)
+    params, _ = build_or_load(model)
+
+    # Default: one generation per genre's uniform composer mixture;
+    # --styles: a single mean-of-one-hots mixture (ref: generate.py:144-148).
+    styles = [compute_genre(i, cfg) for i in range(len(cfg.genres))]
+    if args.styles:
+        styles = [np.mean([one_hot(i, cfg.num_styles) for i in args.styles],
+                          axis=0)]
+
+    print("Generating with styles:", [np.argmax(s) for s in styles])
+    sampler = Sampler(model, params, default_temp=args.temperature)
+    result = sampler.generate(styles, num_bars=args.bars, seed=args.seed)
+    write_file(args.out, result, cfg)
+
+
+def visualize_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Exports style embeddings for projector.tensorflow.org.")
+    parser.parse_args(argv)
+
+    cfg = default_config()
+    model = DeepJ(cfg)
+    params, _ = build_or_load(model)
+
+    # Run the shared 'style' embedding layer on the identity over all styles
+    # (ref: visualize.py:16-23) — a single jnp matmul here.
+    all_styles = np.identity(cfg.num_styles, dtype=np.float32)
+    embedding = np.asarray(model.style_embedding(params, all_styles))
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    vec_path = os.path.join(cfg.out_dir, "style_embedding_vec.tsv")
+    np.savetxt(vec_path, embedding, delimiter="\t")
+
+    # Labels TSV: genre + artist columns with header (ref: visualize.py:26-43).
+    labels = [[g] * len(cfg.styles[i]) for i, g in enumerate(cfg.genres)]
+    labels = [y for x in labels for y in x]
+    style_labels = [os.path.basename(y) for x in cfg.styles for y in x]
+    rows = [["Genre", "Artist"]] + list(map(list, zip(labels, style_labels)))
+    label_path = os.path.join(cfg.out_dir, "style_embedding_labels.tsv")
+    with open(label_path, "w") as f:
+        for row in rows:
+            f.write("\t".join(row) + "\n")
+    print("Wrote", vec_path, "and", label_path)

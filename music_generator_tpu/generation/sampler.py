@@ -1,0 +1,172 @@
+"""On-device autoregressive generation.
+
+The reference generates with a host loop: per timestep one `time_model`
+batched predict recomputing a full 128-step window, then 48 per-note
+`note_model` predicts, then host numpy sampling — 25,088 host→device round
+trips for 32 bars (SURVEY.md §3.2).  Here the ENTIRE generation is one XLA
+program: `lax.scan` over timesteps carrying the time-axis LSTM states (O(1)
+per step, unbounded length — no window recompute), an inner `lax.scan` over
+the 48 pitches interleaving the note-axis LSTM with Bernoulli sampling, and
+the adaptive-temperature state machine (ref: generate.py:60-71) as part of
+the carry.  The batch dimension is a vector of style mixtures (BASELINE
+configs 4-5).
+
+Sampling semantics match ref: generate.py:47-58: temperature-adjusted play
+and replay probabilities, volume copied through only when played, replay
+sampled only when played.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_generator_tpu.config import Config
+from music_generator_tpu.data.dataset import unclamp_midi
+from music_generator_tpu.midi.codec import midi_encode
+from music_generator_tpu.midi.io import write_midifile
+from music_generator_tpu.models.deepj import DeepJ, Params
+from music_generator_tpu.ops.sampling import apply_temperature, bernoulli
+
+
+class StepState(NamedTuple):
+    time_state: Tuple            # per-layer (h, c) of the time axis
+    prev_note: jax.Array         # [G, N, 3] — the notes chosen last step
+    temperature: jax.Array       # [G]
+    silent_time: jax.Array       # [G] int32
+    rng: jax.Array               # PRNG key
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    notes: np.ndarray            # [G, T, N, 3]
+    styles: np.ndarray           # [G, num_styles]
+
+
+class Sampler:
+    """Compiles once per (num_generations, num_steps) and streams MIDI."""
+
+    def __init__(self, model: DeepJ, params: Params, default_temp: float = 1.0):
+        self.model = model
+        self.params = params
+        self.cfg = model.cfg
+        self.default_temp = default_temp
+
+    # -- one timestep ------------------------------------------------------
+
+    def _note_scan(self, params: Params, feats: jax.Array,
+                   style_emb: jax.Array, temperature: jax.Array,
+                   rng: jax.Array) -> jax.Array:
+        """Sample all pitches for one timestep.
+
+        feats: [G, N, time_units].  Returns [G, N, 3].
+        The pitch recurrence and the sampling interleave: note n's LSTM input
+        includes the SAMPLED note n-1 (ref: generate.py:112-118) — but as a
+        single on-device scan, not 48 predict calls.
+        """
+        G = feats.shape[0]
+        model = self.model
+        note_state = model.init_note_state(G)
+
+        def body(carry, inp):
+            note_state, prev_chosen, rng = carry
+            feat_n = inp                              # [G, time_units]
+            pred, note_state = model.note_axis_cell(
+                params, feat_n, prev_chosen, style_emb, note_state)
+            rng, k_play, k_replay = jax.random.split(rng, 3)
+            probs = apply_temperature(pred[:, :2], temperature[:, None])
+            play = bernoulli(k_play, probs[:, 0])
+            replay = bernoulli(k_replay, probs[:, 1]) * play
+            volume = jnp.clip(pred[:, 2], 0.0, 1.0) * play
+            chosen = jnp.stack([play, replay, volume], axis=-1)   # [G, 3]
+            return (note_state, chosen, rng), chosen
+
+        xs = feats.transpose(1, 0, 2)                 # [N, G, time_units]
+        (_, _, _), notes = jax.lax.scan(
+            body, (note_state, jnp.zeros((G, 3)), rng), xs)
+        return notes.transpose(1, 0, 2)               # [G, N, 3]
+
+    def _step(self, params: Params, style_emb: jax.Array,
+              state: StepState, t: jax.Array) -> Tuple[StepState, jax.Array]:
+        cfg = self.cfg
+        G = style_emb.shape[0]
+        beat = jax.nn.one_hot(t % cfg.notes_per_bar, cfg.notes_per_bar)
+        beat = jnp.broadcast_to(beat[None], (G, cfg.notes_per_bar))
+
+        feats, time_state = self.model.time_axis_step(
+            params, state.prev_note, beat, style_emb, state.time_state)
+
+        rng, step_rng = jax.random.split(state.rng)
+        next_note = self._note_scan(params, feats, style_emb,
+                                    state.temperature, step_rng)
+
+        # Adaptive temperature (ref: generate.py:60-71): +0.1 per silent step
+        # once a full bar has been silent; reset to default on any note.
+        silent = jnp.sum(next_note, axis=(1, 2)) == 0
+        silent_time = jnp.where(silent, state.silent_time + 1, 0)
+        bump = silent & (silent_time >= cfg.notes_per_bar)
+        temperature = jnp.where(
+            bump, state.temperature + 0.1,
+            jnp.where(silent, state.temperature, self.default_temp))
+
+        return StepState(time_state, next_note, temperature, silent_time,
+                         rng), next_note
+
+    # -- whole piece -------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _generate_jit(self, params: Params, styles: jax.Array,
+                      num_steps: int, seed: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        G = styles.shape[0]
+        style_emb = self.model.style_embedding(params, styles)
+
+        init = StepState(
+            time_state=self.model.init_time_state(G),
+            prev_note=jnp.zeros((G, cfg.num_notes, cfg.note_units)),
+            temperature=jnp.full((G,), self.default_temp),
+            # A fresh generation counts as already silent for a bar
+            # (ref: generate.py:24 inits silent_time = NOTES_PER_BAR).
+            silent_time=jnp.full((G,), cfg.notes_per_bar, jnp.int32),
+            rng=jax.random.key(seed),
+        )
+
+        def scan_body(state, t):
+            return self._step(params, style_emb, state, t)
+
+        _, notes = jax.lax.scan(scan_body, init,
+                                jnp.arange(num_steps, dtype=jnp.int32))
+        return notes.transpose(1, 0, 2, 3)            # [G, T, N, 3]
+
+    def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
+                 seed: int = 0) -> GenerationResult:
+        """Generate `num_bars` bars for each style mixture, entirely
+        on-device (ref: generate.py:98-121's API, minus the host loop)."""
+        cfg = self.cfg
+        styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
+        num_steps = cfg.notes_per_bar * num_bars
+        notes = self._generate_jit(self.params, styles_arr, num_steps,
+                                   jnp.uint32(seed))
+        return GenerationResult(np.asarray(notes), np.asarray(styles_arr))
+
+
+def write_file(name: str, result: GenerationResult,
+               config: Optional[Config] = None) -> list:
+    """Write one .mid per generation to cfg.samples_dir
+    (ref: generate.py:123-134)."""
+    cfg = config or Config()
+    paths = []
+    for i in range(result.notes.shape[0]):
+        fpath = os.path.join(cfg.samples_dir, f"{name}_{i}.mid")
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        print("Writing file", fpath)
+        mf = midi_encode(unclamp_midi(result.notes[i], cfg), config=cfg)
+        write_midifile(fpath, mf)
+        paths.append(fpath)
+    return paths

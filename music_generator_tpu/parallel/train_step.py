@@ -1,0 +1,112 @@
+"""The pjit-compiled training step.
+
+One function, traced once, compiled once, covering: dropout RNG derivation,
+forward, masked loss, backward, Nadam update — with the batch sharded over
+the `data` mesh axis and params/optimizer state replicated.  The gradient
+all-reduce is inserted by XLA from the shardings; there is no hand-written
+collective here (SURVEY.md §5 "Distributed communication backend").
+
+This replaces the reference's Keras `fit` hot loop (ref: train.py:29) and its
+per-batch Python→CUDA round trip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from music_generator_tpu.models.deepj import DeepJ, Params, init_params
+from music_generator_tpu.ops.nadam import nadam
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: optax.OptState
+    step: jax.Array            # int32
+    rng: jax.Array             # raw PRNG key data (uint32), folded per step
+                               # for dropout; raw so checkpoints stay plain
+                               # numpy-convertible arrays
+
+
+def create_train_state(model: DeepJ, seed: int = 0,
+                       optimizer: optax.GradientTransformation | None = None
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    cfg = model.cfg
+    if optimizer is None:
+        optimizer = nadam(cfg.learning_rate, cfg.beta1, cfg.beta2, cfg.eps,
+                          cfg.schedule_decay)
+    init_key, drop_key = jax.random.split(jax.random.key(seed))
+    params = init_params(init_key, cfg)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros([], jnp.int32),
+                      jax.random.key_data(drop_key)), optimizer
+
+
+def make_train_step(model: DeepJ, optimizer: optax.GradientTransformation,
+                    mesh: Mesh, axis_name: str = "data") -> Callable:
+    """Build the jitted train step: (state, batch) → (state, metrics).
+
+    batch = (notes, targets, beats, styles), each sharded on dim 0.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        rng = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
+                                 state.step)
+
+        def loss_fn(params):
+            return model.loss(params, batch, rng=rng, train=True)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1, state.rng)
+        return new_state, metrics
+
+    # Replicate the whole train state, shard the batch on its leading dim;
+    # XLA derives the gradient all-reduce from these shardings.
+    return jax.jit(
+        step_fn,
+        in_shardings=(jax.tree.map(lambda _: repl, _state_struct(model, optimizer)),
+                      (data, data, data, data)),
+        out_shardings=(jax.tree.map(lambda _: repl, _state_struct(model, optimizer)),
+                       None),
+        donate_argnums=(0,),
+    )
+
+
+def _params_struct(model: DeepJ):
+    return jax.eval_shape(lambda: init_params(jax.random.key(0), model.cfg))
+
+
+def _state_struct(model: DeepJ, optimizer):
+    def build():
+        params = init_params(jax.random.key(0), model.cfg)
+        opt_state = optimizer.init(params)
+        return TrainState(params, opt_state, jnp.zeros([], jnp.int32),
+                          jax.random.key_data(jax.random.key(0)))
+    return jax.eval_shape(build)
+
+
+def make_eval_step(model: DeepJ, mesh: Mesh, axis_name: str = "data") -> Callable:
+    """Deterministic (no-dropout) loss over a sharded batch."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    def eval_fn(params: Params, batch):
+        _, metrics = model.loss(params, batch, rng=None, train=False)
+        return metrics
+
+    return jax.jit(
+        eval_fn,
+        in_shardings=(jax.tree.map(lambda _: repl, _params_struct(model)),
+                      (data, data, data, data)),
+    )

@@ -1,0 +1,128 @@
+"""Training driver.
+
+Mirrors the reference's loop semantics (ref: train.py:14-29): up to `epochs`
+epochs over the fully-loaded dataset, per-epoch mean training loss drives a
+best-only checkpoint and early stopping with patience 5 — but runs as a
+pjit-compiled step over the data mesh with on-host metric/throughput logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from music_generator_tpu.config import Config
+from music_generator_tpu.data.dataset import Dataset, batches
+from music_generator_tpu.models.deepj import DeepJ
+from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
+from music_generator_tpu.parallel.train_step import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+from music_generator_tpu.training.checkpoint import CheckpointStore
+from music_generator_tpu.training.metrics import MetricLogger, Throughput
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: Optional[int] = None          # default: cfg.epochs (1000)
+    patience: Optional[int] = None        # default: cfg.early_stop_patience
+    seed: int = 0
+    log_every: int = 10                   # batches between metric logs
+    checkpoint: bool = True
+    tensorboard: bool = True
+
+
+class Trainer:
+    def __init__(self, model: DeepJ, train_cfg: Optional[TrainConfig] = None,
+                 mesh=None):
+        self.model = model
+        self.cfg = model.cfg
+        self.tc = train_cfg or TrainConfig()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.state, self.optimizer = create_train_state(model, self.tc.seed)
+        self.train_step = make_train_step(model, self.optimizer, self.mesh)
+        self.store = CheckpointStore(self.cfg.model_file) \
+            if self.tc.checkpoint else None
+
+    def maybe_restore(self) -> bool:
+        """Best-effort resume (ref: util.py:17-22's implicit-resume CLI
+        behavior, extended to optimizer state + step)."""
+        if self.store is None or not self.store.exists():
+            print("Unable to load model from file.")
+            return False
+        try:
+            restored = self.store.restore(self.state)
+            self.state = jax.tree.map(jax.numpy.asarray, restored)
+            print("Loaded model from file.")
+            return True
+        except Exception as e:
+            print(f"Unable to load model from file. ({type(e).__name__})")
+            return False
+
+    def fit(self, ds: Dataset, epochs: Optional[int] = None) -> dict:
+        cfg, tc = self.cfg, self.tc
+        epochs = epochs if epochs is not None else (tc.epochs or cfg.epochs)
+        patience = tc.patience if tc.patience is not None \
+            else cfg.early_stop_patience
+        batch_size = cfg.batch_size
+
+        if len(ds) == 0:
+            raise ValueError("empty dataset — nothing to train on")
+        if len(ds) < batch_size:
+            batch_size = max(1, len(ds))
+
+        logger = MetricLogger(cfg.log_dir, tensorboard=tc.tensorboard)
+        # Timesteps per global batch: the BASELINE metric counts piano-roll
+        # timesteps (batch × seq_len), as derived in SURVEY.md §6.
+        meter = Throughput(batch_size * ds.notes.shape[1])
+
+        rng = np.random.default_rng(tc.seed)
+        best_loss = float("inf")
+        bad_epochs = 0
+        history = {"loss": []}
+
+        for epoch in range(epochs):
+            epoch_losses = []
+            meter.reset()
+            t0 = time.perf_counter()
+            for batch in batches(ds, batch_size, rng=rng,
+                                 drop_remainder=False):
+                batch = shard_batch(self.mesh, batch)
+                self.state, metrics = self.train_step(self.state, batch)
+                meter.tick()
+                # Keep device arrays; only sync to host when logging.
+                epoch_losses.append(metrics["loss"])
+                if len(epoch_losses) % tc.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["timesteps_per_sec"] = meter.rate()
+                    logger.log(int(self.state.step), m)
+
+            epoch_loss = float(np.mean([float(l) for l in epoch_losses]))
+            history["loss"].append(epoch_loss)
+            dt = time.perf_counter() - t0
+            print(f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.4f} "
+                  f"({dt:.1f}s, {meter.rate():.0f} timesteps/s)")
+            logger.log(epoch + 1, {"epoch_loss": epoch_loss}, prefix="epoch")
+
+            # Best-only checkpoint + early stop, both on TRAIN loss
+            # (ref: train.py:23-24 monitors 'loss', not val_loss).
+            if epoch_loss < best_loss:
+                best_loss = epoch_loss
+                bad_epochs = 0
+                if self.store is not None:
+                    self.store.save(self.state)
+            else:
+                bad_epochs += 1
+                if bad_epochs > patience:
+                    print(f"early stopping (no improvement for "
+                          f"{bad_epochs} epochs)")
+                    break
+
+        logger.close()
+        return history

@@ -1,0 +1,133 @@
+"""Generation tests: the on-device sampler's determinism, shape/value
+contracts, adaptive-temperature semantics, and the full roll→MIDI write path
+(BASELINE config 1: random-init generation must produce valid .mid files)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from music_generator_tpu import midi
+from music_generator_tpu.config import test_config as small_config
+from music_generator_tpu.data.dataset import compute_genre
+from music_generator_tpu.generation.sampler import Sampler, write_file
+from music_generator_tpu.models.deepj import DeepJ, init_params
+
+CFG = small_config()
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(0), CFG)
+    return Sampler(model, params)
+
+
+def test_generate_shapes_and_values(sampler):
+    styles = [compute_genre(i, CFG) for i in range(3)]
+    result = sampler.generate(styles, num_bars=2, seed=0)
+    G, T, N, C = result.notes.shape
+    assert (G, T, N, C) == (3, 2 * CFG.notes_per_bar, CFG.num_notes, 3)
+    play = result.notes[..., 0]
+    replay = result.notes[..., 1]
+    vol = result.notes[..., 2]
+    assert set(np.unique(play)) <= {0.0, 1.0}
+    assert set(np.unique(replay)) <= {0.0, 1.0}
+    # Replay only where played; volume only where played; volume in [0, 1].
+    assert (replay <= play).all()
+    assert ((vol > 0) <= (play > 0)).all()
+    assert (vol >= 0).all() and (vol <= 1).all()
+
+
+def test_generate_deterministic_per_seed(sampler):
+    styles = [compute_genre(0, CFG)]
+    a = sampler.generate(styles, num_bars=2, seed=7)
+    b = sampler.generate(styles, num_bars=2, seed=7)
+    np.testing.assert_array_equal(a.notes, b.notes)
+    c = sampler.generate(styles, num_bars=2, seed=8)
+    assert not np.array_equal(a.notes, c.notes)
+
+
+def test_write_file_produces_parseable_midi(sampler, tmp_path):
+    cfg = CFG.replace(out_dir=str(tmp_path / "out"))
+    styles = [compute_genre(i, CFG) for i in range(2)]
+    result = sampler.generate(styles, num_bars=1, seed=0)
+    paths = write_file("output", result, cfg)
+    assert len(paths) == 2
+    for i, p in enumerate(paths):
+        assert p.endswith(f"output_{i}.mid")
+        assert os.path.exists(p)
+        pattern = midi.read_midifile(p)
+        assert pattern.resolution == cfg.notes_per_beat
+        assert len(pattern) >= 1
+
+
+def test_fixed_seed_midi_bytes_stable(sampler, tmp_path):
+    """The byte-identity target (BASELINE.md): same seed → byte-identical
+    .mid output."""
+    cfg = CFG.replace(out_dir=str(tmp_path / "out"))
+    styles = [compute_genre(0, CFG)]
+    r1 = sampler.generate(styles, num_bars=2, seed=3)
+    p1 = write_file("a", r1, cfg)[0]
+    r2 = sampler.generate(styles, num_bars=2, seed=3)
+    p2 = write_file("b", r2, cfg)[0]
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_adaptive_temperature_rises_when_silent():
+    """Force near-zero play probability via a strongly negative play-head
+    bias: the temperature must climb 0.1 per silent step
+    (ref: generate.py:60-71; initial silent_time is a full bar)."""
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(1), CFG)
+    # Push play/replay logits very negative so nothing fires.
+    params = params._replace(
+        note_dense=params.note_dense._replace(
+            bias=params.note_dense.bias - 30.0,
+            kernel=params.note_dense.kernel * 0.0))
+    sampler = Sampler(model, params)
+
+    styles = jnp.asarray(np.stack([compute_genre(0, CFG)]), jnp.float32)
+    style_emb = sampler.model.style_embedding(params, styles)
+    from music_generator_tpu.generation.sampler import StepState
+    state = StepState(
+        time_state=model.init_time_state(1),
+        prev_note=jnp.zeros((1, CFG.num_notes, 3)),
+        temperature=jnp.ones((1,)),
+        silent_time=jnp.full((1,), CFG.notes_per_bar, jnp.int32),
+        rng=jax.random.key(0))
+    temps = []
+    for t in range(4):
+        state, _ = sampler._step(params, style_emb, state,
+                                 jnp.asarray(t, jnp.int32))
+        temps.append(float(state.temperature[0]))
+    np.testing.assert_allclose(temps, [1.1, 1.2, 1.3, 1.4], rtol=1e-6)
+
+
+def test_generation_streaming_matches_teacher_forced_forward(sampler):
+    """The sampler's own outputs, fed back through the batched training
+    graph as teacher-forced targets, must reproduce the sampler's
+    probabilities — the train/generate parity contract."""
+    model, params = sampler.model, sampler.params
+    styles = [compute_genre(0, CFG)]
+    result = sampler.generate(styles, num_bars=1, seed=11)
+    notes = result.notes                       # [1, T, N, 3]
+    T = notes.shape[1]
+
+    # Inputs at step t are the notes sampled at t-1 (zeros at t=0).
+    inputs = np.concatenate([np.zeros_like(notes[:, :1]), notes[:, :-1]], 1)
+    beat = jax.nn.one_hot(np.arange(T) % CFG.notes_per_bar,
+                          CFG.notes_per_bar)[None]
+    style_rows = np.repeat(np.stack(styles)[:, None], T, axis=1)
+
+    preds = model.forward(params, jnp.asarray(inputs), jnp.asarray(notes),
+                          jnp.asarray(beat, jnp.float32),
+                          jnp.asarray(style_rows, jnp.float32))
+    # Where the sampler says played, the batched graph must agree the
+    # volume prediction that was copied (clipped) matches.
+    play = notes[..., 0] > 0
+    clip = np.clip(np.asarray(preds[..., 2]), 0, 1)
+    np.testing.assert_allclose(notes[..., 2][play], clip[play], atol=1e-4)
