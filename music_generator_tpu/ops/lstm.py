@@ -93,8 +93,7 @@ def lstm_scan(params: LSTMParams, xs: jax.Array,
 
     if kernel == "pallas":
         from music_generator_tpu.ops.pallas_lstm import pallas_lstm_recurrence
-        return pallas_lstm_recurrence(xw, params.recurrent, h0, c0,
-                                      compute_dtype=dt)
+        return pallas_lstm_recurrence(xw, params.recurrent, h0, c0, dt)
 
     rec = params.recurrent.astype(dt)
 

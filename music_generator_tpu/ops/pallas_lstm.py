@@ -122,14 +122,35 @@ def _bwd_kernel(u_ref, acts_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dcT_ref,
         dc0_ref[:] = (dc * f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.lru_cache(maxsize=None)
+def _make_recurrence(dtype_name: str):
+    """Build (and cache) the custom-VJP'd recurrence closed over the
+    compute dtype — dtypes as closure, arrays as arguments."""
+    compute_dtype = jnp.dtype(dtype_name)
+
+    @jax.custom_vjp
+    def recurrence(xw, u, h0, c0):
+        hs, _, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
+        return hs, (hT, cT)
+
+    def fwd_rule(xw, u, h0, c0):
+        return _fwd_rule(xw, u, h0, c0, compute_dtype)
+
+    def bwd_rule(residuals, grads):
+        return _bwd_rule(compute_dtype, residuals, grads)
+
+    recurrence.defvjp(fwd_rule, bwd_rule)
+    return recurrence
+
+
 def pallas_lstm_recurrence(xw, u, h0, c0, compute_dtype=jnp.float32):
     """Fused recurrence: xw [T, B, 4H] (= x@W + b), u [H, 4H], h0/c0 [B, H].
 
     Returns (hs [T, B, H], (h_T, c_T)).  Differentiable w.r.t. xw, u, h0, c0.
     """
-    hs, _, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
-    return hs, (hT, cT)
+    dt = jnp.dtype(compute_dtype)
+    # Cast up front so the primal/cotangent dtypes agree with the closure.
+    return _make_recurrence(dt.name)(xw.astype(dt), u, h0, c0)
 
 
 def _forward_impl(xw, u, h0, c0, compute_dtype):
@@ -137,7 +158,8 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
     H = H4 // 4
     f32 = jnp.float32
 
-    grid_spec = pl.GridSpec(
+    hs, cs_prev, acts, hT, cT = pl.pallas_call(
+        _fwd_kernel,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
@@ -156,11 +178,6 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-    )
-
-    hs, cs_prev, acts, hT, cT = pl.pallas_call(
-        _fwd_kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), f32),     # hs
             jax.ShapeDtypeStruct((T, B, H), f32),     # c_{t-1} tape
@@ -184,12 +201,13 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
 
 def _fwd_rule(xw, u, h0, c0, compute_dtype):
     hs, cs_prev, acts, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
-    residuals = (u, acts, cs_prev, hs, h0, xw.dtype)
+    residuals = (u, acts, cs_prev, hs, h0)
     return (hs, (hT, cT)), residuals
 
 
 def _bwd_rule(compute_dtype, residuals, grads):
-    u, acts, cs_prev, hs, h0, xw_dtype = residuals
+    u, acts, cs_prev, hs, h0 = residuals
+    xw_dtype = compute_dtype   # the wrapper casts xw to compute_dtype
     dhs, (dhT, dcT) = grads
     T, B, H = hs.shape
     H4 = 4 * H
@@ -207,7 +225,8 @@ def _bwd_rule(compute_dtype, residuals, grads):
     # plain forward block indexing.
     rev = lambda a: jnp.flip(a, axis=0)
 
-    grid_spec = pl.GridSpec(
+    dxw_rev, du, dh0, dc0 = pl.pallas_call(
+        _bwd_kernel,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
@@ -228,11 +247,6 @@ def _bwd_rule(compute_dtype, residuals, grads):
             pl.BlockSpec((B, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
         ],
-    )
-
-    dxw_rev, du, dh0, dc0 = pl.pallas_call(
-        _bwd_kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H4), f32),
             jax.ShapeDtypeStruct((H, H4), f32),
@@ -256,4 +270,3 @@ def _bwd_rule(compute_dtype, residuals, grads):
     return dxw.astype(xw_dtype), du.astype(u.dtype), dh0, dc0
 
 
-pallas_lstm_recurrence.defvjp(_fwd_rule, _bwd_rule)
