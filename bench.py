@@ -67,12 +67,15 @@ def main(argv=None):
 
         for _ in range(args.warmup):
             state, metrics = step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])    # full host readback: the relay's
+                                  # block_until_ready can ack early
 
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, metrics = step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        # The steps chain through `state`, so reading the last loss to host
+        # forces completion of the whole sequence.
+        float(metrics["loss"])
         dt = time.perf_counter() - t0
 
         timesteps = args.steps * B * T
@@ -93,9 +96,11 @@ def main(argv=None):
         styles = [compute_genre(i % 3, cfg) for i in range(args.batch)]
 
         bars = 8
-        sampler.generate(styles, num_bars=bars, seed=0)   # compile
+        r = sampler.generate(styles, num_bars=bars, seed=0)   # compile
+        float(r.notes.sum())
         t0 = time.perf_counter()
         result = sampler.generate(styles, num_bars=bars, seed=1)
+        float(result.notes.sum())    # force full completion to host
         dt = time.perf_counter() - t0
         steps = bars * cfg.notes_per_bar
         ms_per_step = dt / steps * 1000.0

@@ -1,19 +1,26 @@
 """Fused Pallas LSTM recurrence for TPU.
 
 This is the framework's native compute kernel, replacing the cuDNN LSTM the
-reference delegated to (ref: requirements.txt:2 tensorflow-gpu; model.py:84,122).
+reference delegated to (ref: requirements.txt:2 tensorflow-gpu;
+model.py:84,122).
 
 Layout: the input projection xw_t = x_t @ W + b for all T steps is computed
 outside as one large MXU matmul (see ops/lstm.py).  This kernel runs the
-sequential part: for each step, z = xw_t + h @ U, four-gate nonlinearity,
-state update.  The recurrent matrix U and the h/c state live in VMEM scratch
-for the entire scan — zero HBM traffic for state — while Pallas's grid
+sequential part: per step, z = xw_t + h @ U, four-gate nonlinearity, state
+update.  The recurrent matrix U and the h/c state live in VMEM scratch for
+the entire scan — zero HBM round-trips for state — while Pallas's grid
 pipeline double-buffers the xw_t blocks from HBM.
 
-The kernel is wrapped in a custom_vjp: forward also emits the cell-state and
-gate-activation tapes, and the backward pass is a second Pallas kernel that
-walks the grid in reverse, accumulating dU/db in VMEM scratch and streaming
-d(xw) back out.  Training runs entirely on fused kernels.
+Grid: (batch_tiles, T) with T innermost, so each batch tile scans all its
+timesteps with state resident in VMEM, then moves to the next tile.  Batch
+tiling keeps peak VMEM bounded (~4 MB at tile 256) for arbitrarily large
+effective batches (the model folds batch×notes / batch×time into this axis).
+
+The kernel pair is wrapped in a custom_vjp: the forward also emits cell-state
+and gate-activation tapes (activations in the compute dtype to halve tape
+bandwidth), and the backward is a second Pallas kernel walking each tile's
+timesteps in reverse, accumulating dU in VMEM scratch and streaming d(xw)
+out.  Training runs entirely on fused kernels.
 """
 
 from __future__ import annotations
@@ -27,12 +34,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pick_batch_tile(B: int, max_tile: int = 256) -> int:
+    """Largest divisor of B that is ≤ max_tile and a multiple of 8, else B."""
+    for bt in range(min(B, max_tile), 7, -1):
+        if B % bt == 0 and bt % 8 == 0:
+            return bt
+    return B
+
+
 def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
                 hs_ref, cs_ref, acts_ref, hT_ref, cT_ref,
                 h_s, c_s):
-    """One grid step = one timestep.  Scratch h_s/c_s persist across steps."""
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    """Grid (NB, T): one batch tile × one timestep per invocation.  The
+    scratch h_s/c_s persist across the T-innermost iterations of a tile."""
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
@@ -52,8 +68,8 @@ def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
     c_new = f * c_s[:] + i * g
     h_new = o * jnp.tanh(c_new)
 
-    # Tapes for the backward pass.
-    acts_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
+    # Tapes for the backward pass (activations in compute dtype).
+    acts_ref[0] = jnp.concatenate([i, f, g, o], axis=-1).astype(acts_ref.dtype)
     cs_ref[0] = c_s[:]          # c_{t-1}, needed for df
     hs_ref[0] = h_new
     h_s[:] = h_new
@@ -68,16 +84,23 @@ def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
 def _bwd_kernel(u_ref, acts_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dcT_ref,
                 dxw_ref, du_ref, dh0_ref, dc0_ref,
                 dh_s, dc_s, du_s):
-    """Reverse-order grid: step r walks t = T-1-r.  Carries dh/dc in scratch,
-    accumulates dU, streams d(xw_t) out.  The terminal cotangents enter as
-    the initial carries (dhT is pre-folded into dhs[T-1]; dcT seeds dc_s)."""
-    r = pl.program_id(0)
-    T = pl.num_programs(0)
+    """Grid (NB, T): step r walks t = T-1-r within each batch tile (the tapes
+    are pre-reversed along time).  Carries dh/dc in scratch per tile,
+    accumulates dU across the entire grid, streams d(xw_t) out.  Terminal
+    cotangents enter as initial carries: dhT pre-folded into dhs[T-1], dcT
+    seeding dc_s."""
+    b = pl.program_id(0)
+    NB = pl.num_programs(0)
+    r = pl.program_id(1)
+    T = pl.num_programs(1)
 
     @pl.when(r == 0)
     def _():
         dh_s[:] = jnp.zeros_like(dh_s)
         dc_s[:] = dcT_ref[:]
+
+    @pl.when((r == 0) & (b == 0))
+    def _():
         du_s[:] = jnp.zeros_like(du_s)
 
     hidden = u_ref.shape[0]
@@ -107,8 +130,9 @@ def _bwd_kernel(u_ref, acts_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dcT_ref,
 
     dxw_ref[0] = dz.astype(dxw_ref.dtype)
     # dU += h_{t-1}^T @ dz ; dh_{t-1} = dz @ U^T
-    h_prev = hs_prev_ref[0].astype(jnp.float32)
-    du_s[:] += jnp.dot(h_prev.T, dz, preferred_element_type=jnp.float32)
+    h_prev = hs_prev_ref[0]
+    du_s[:] += jnp.dot(h_prev.T.astype(u_ref.dtype), dz.astype(u_ref.dtype),
+                       preferred_element_type=jnp.float32)
     dh_prev = jnp.dot(dz.astype(u_ref.dtype), u_ref[:].T,
                       preferred_element_type=jnp.float32)
 
@@ -117,15 +141,154 @@ def _bwd_kernel(u_ref, acts_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dcT_ref,
 
     @pl.when(r == T - 1)
     def _():
-        du_ref[:] = du_s[:]
         dh0_ref[:] = dh_prev
         dc0_ref[:] = (dc * f)
+
+    @pl.when((r == T - 1) & (b == NB - 1))
+    def _():
+        du_ref[:] = du_s[:]
+
+
+def _tiling(B: int) -> Tuple[int, int]:
+    BT = _pick_batch_tile(B)
+    if B % BT != 0:
+        return B, 1
+    return BT, B // BT
+
+
+def _forward_impl(xw, u, h0, c0, compute_dtype):
+    T, B, H4 = xw.shape
+    H = H4 // 4
+    f32 = jnp.float32
+    BT, NB = _tiling(B)
+
+    hs, cs_prev, acts, hT, cT = pl.pallas_call(
+        _fwd_kernel,
+        grid=(NB, T),
+        in_specs=[
+            pl.BlockSpec((1, BT, H4), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, H4), lambda b, t: (t, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), f32),             # hs
+            jax.ShapeDtypeStruct((T, B, H), f32),             # c_{t-1} tape
+            jax.ShapeDtypeStruct((T, B, H4), compute_dtype),  # gate acts tape
+            jax.ShapeDtypeStruct((B, H), f32),                # h_T
+            jax.ShapeDtypeStruct((B, H), f32),                # c_T
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), f32),
+            pltpu.VMEM((BT, H), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * H4 + 10 * T * B * H4,
+            bytes_accessed=(xw.size * xw.dtype.itemsize
+                            + 3 * T * B * H * 4 + T * B * H4),
+            transcendentals=4 * T * B * H4,
+        ),
+    )(xw.astype(compute_dtype), u.astype(compute_dtype),
+      h0.astype(f32), c0.astype(f32))
+    return hs, cs_prev, acts, hT, cT
+
+
+def _fwd_rule(xw, u, h0, c0, compute_dtype):
+    hs, cs_prev, acts, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
+    residuals = (u, acts, cs_prev, hs, h0)
+    return (hs, (hT, cT)), residuals
+
+
+def _bwd_rule(compute_dtype, residuals, grads):
+    u, acts, cs_prev, hs, h0 = residuals
+    dhs, (dhT, dcT) = grads
+    T, B, H = hs.shape
+    H4 = 4 * H
+    f32 = jnp.float32
+    BT, NB = _tiling(B)
+
+    # Fold terminal cotangents into the recurrence: dhT joins the last step's
+    # streamed cotangent; dcT seeds the dc carry inside the kernel.
+    dhs = dhs.astype(f32).at[T - 1].add(dhT.astype(f32))
+    dcT = dcT.astype(f32)
+
+    # h_{t-1} tape: shift hs right by one, h_{-1} = h0.
+    hs_prev = jnp.concatenate([h0[None].astype(f32), hs[:-1]], axis=0)
+
+    # Reverse along time so grid index r maps to t = T-1-r with plain forward
+    # block indexing.
+    rev = lambda a: jnp.flip(a, axis=0)
+
+    dxw_rev, du, dh0, dc0 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(NB, T),
+        in_specs=[
+            pl.BlockSpec((H, H4), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, H4), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, H), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, H), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, H), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H4), lambda b, r: (r, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, r: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H4), f32),
+            jax.ShapeDtypeStruct((H, H4), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+            jax.ShapeDtypeStruct((B, H), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), f32),
+            pltpu.VMEM((BT, H), f32),
+            pltpu.VMEM((H, H4), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * B * H * H4 + 20 * T * B * H4,
+            bytes_accessed=3 * T * B * H4 * 4,
+            transcendentals=2 * T * B * H,
+        ),
+    )(u.astype(compute_dtype), rev(acts), rev(cs_prev), rev(hs_prev),
+      rev(dhs), dcT)
+
+    dxw = jnp.flip(dxw_rev, axis=0)
+    return dxw.astype(compute_dtype), du.astype(u.dtype), dh0, dc0
 
 
 @functools.lru_cache(maxsize=None)
 def _make_recurrence(dtype_name: str):
-    """Build (and cache) the custom-VJP'd recurrence closed over the
-    compute dtype — dtypes as closure, arrays as arguments."""
+    """Build (and cache) the custom-VJP'd recurrence closed over the compute
+    dtype — dtypes as closure, arrays as arguments."""
     compute_dtype = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
@@ -151,122 +314,3 @@ def pallas_lstm_recurrence(xw, u, h0, c0, compute_dtype=jnp.float32):
     dt = jnp.dtype(compute_dtype)
     # Cast up front so the primal/cotangent dtypes agree with the closure.
     return _make_recurrence(dt.name)(xw.astype(dt), u, h0, c0)
-
-
-def _forward_impl(xw, u, h0, c0, compute_dtype):
-    T, B, H4 = xw.shape
-    H = H4 // 4
-    f32 = jnp.float32
-
-    hs, cs_prev, acts, hT, cT = pl.pallas_call(
-        _fwd_kernel,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), f32),     # hs
-            jax.ShapeDtypeStruct((T, B, H), f32),     # c_{t-1} tape
-            jax.ShapeDtypeStruct((T, B, H4), f32),    # gate activations tape
-            jax.ShapeDtypeStruct((B, H), f32),        # h_T
-            jax.ShapeDtypeStruct((B, H), f32),        # c_T
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, H), f32),
-            pltpu.VMEM((B, H), f32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * H4 + 10 * T * B * H4,
-            bytes_accessed=xw.size * xw.dtype.itemsize + 4 * T * B * H * 4,
-            transcendentals=4 * T * B * H4,
-        ),
-    )(xw.astype(compute_dtype), u.astype(compute_dtype),
-      h0.astype(f32), c0.astype(f32))
-    return hs, cs_prev, acts, hT, cT
-
-
-def _fwd_rule(xw, u, h0, c0, compute_dtype):
-    hs, cs_prev, acts, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
-    residuals = (u, acts, cs_prev, hs, h0)
-    return (hs, (hT, cT)), residuals
-
-
-def _bwd_rule(compute_dtype, residuals, grads):
-    u, acts, cs_prev, hs, h0 = residuals
-    xw_dtype = compute_dtype   # the wrapper casts xw to compute_dtype
-    dhs, (dhT, dcT) = grads
-    T, B, H = hs.shape
-    H4 = 4 * H
-    f32 = jnp.float32
-
-    # Fold the terminal-state cotangents into the recurrence: dhT joins the
-    # last step's streamed cotangent; dcT seeds the dc carry inside the kernel.
-    dhs = dhs.astype(f32).at[T - 1].add(dhT.astype(f32))
-    dcT = dcT.astype(f32)
-
-    # h_{t-1} tape: shift hs right by one, h_{-1} = h0.
-    hs_prev = jnp.concatenate([h0[None].astype(f32), hs[:-1]], axis=0)
-
-    # Reverse the tapes so the kernel's grid index r maps to t = T-1-r with
-    # plain forward block indexing.
-    rev = lambda a: jnp.flip(a, axis=0)
-
-    dxw_rev, du, dh0, dc0 = pl.pallas_call(
-        _bwd_kernel,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H4), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, H4), lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda r: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), f32),
-            jax.ShapeDtypeStruct((H, H4), f32),
-            jax.ShapeDtypeStruct((B, H), f32),
-            jax.ShapeDtypeStruct((B, H), f32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, H), f32),
-            pltpu.VMEM((B, H), f32),
-            pltpu.VMEM((H, H4), f32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * T * B * H * H4 + 20 * T * B * H4,
-            bytes_accessed=3 * T * B * H4 * 4,
-            transcendentals=2 * T * B * H,
-        ),
-    )(u.astype(compute_dtype), rev(acts), rev(cs_prev), rev(hs_prev),
-      rev(dhs), dcT)
-
-    dxw = jnp.flip(dxw_rev, axis=0)
-    return dxw.astype(xw_dtype), du.astype(u.dtype), dh0, dc0
-
-
