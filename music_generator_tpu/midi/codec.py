@@ -266,8 +266,14 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
     try:
         note_seq = np.load(cache_path)
     except Exception:
-        pattern = read_midifile(fname)
-        note_seq = midi_decode(pattern, cfg.midi_max_notes, config=cfg)
+        # Fast path: the native C++ decoder (GIL-free, bit-identical —
+        # tests/test_native_codec.py); Python codec as reference fallback.
+        from music_generator_tpu.midi import native as _native
+        if _native.available():
+            note_seq = _native.native_decode_file(fname, cfg.notes_per_beat)
+        else:
+            pattern = read_midifile(fname)
+            note_seq = midi_decode(pattern, cfg.midi_max_notes, config=cfg)
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         np.save(cache_path, note_seq)
 

@@ -13,14 +13,22 @@ pipeline double-buffers the xw_t blocks from HBM.
 
 Grid: (batch_tiles, T) with T innermost, so each batch tile scans all its
 timesteps with state resident in VMEM, then moves to the next tile.  Batch
-tiling keeps peak VMEM bounded (~4 MB at tile 256) for arbitrarily large
-effective batches (the model folds batch×notes / batch×time into this axis).
+tiling keeps peak VMEM bounded for arbitrarily large effective batches (the
+model folds batch×notes / batch×time into this axis).
 
-The kernel pair is wrapped in a custom_vjp: the forward also emits cell-state
-and gate-activation tapes (activations in the compute dtype to halve tape
-bandwidth), and the backward is a second Pallas kernel walking each tile's
-timesteps in reverse, accumulating dU in VMEM scratch and streaming d(xw)
-out.  Training runs entirely on fused kernels.
+Performance notes (measured on v5e):
+  * Gate math runs in the compute dtype (bfloat16 in production) — f32 gates
+    double the VPU cost and dominated v1 of this kernel.
+  * Only two tapes leave the kernel (h and c_prev, both in compute dtype);
+    the backward kernel RECOMPUTES the gate activations from xw + h_prev@U
+    instead of streaming a 4H-wide activation tape — one extra MXU matmul
+    per step is far cheaper than the tape bandwidth.
+  * sigmoid is computed as 0.5·tanh(0.5x)+0.5 with dtype-matched constants
+    (identical function; jax.nn.sigmoid's lowering rejects bf16 here).
+  * The running c stays in f32 scratch for recurrence stability; tapes are
+    rounded to the compute dtype.
+
+The pair is wrapped in a custom_vjp; training runs entirely on fused kernels.
 """
 
 from __future__ import annotations
@@ -42,13 +50,35 @@ def _pick_batch_tile(B: int, max_tile: int = 256) -> int:
     return B
 
 
+def _tiling(B: int) -> Tuple[int, int]:
+    BT = _pick_batch_tile(B)
+    if B % BT != 0:
+        return B, 1
+    return BT, B // BT
+
+
+def _sigmoid(x):
+    """Logistic via the tanh identity, dtype-preserving (see module doc)."""
+    half = jnp.asarray(0.5, x.dtype)
+    return half * jnp.tanh(half * x) + half
+
+
+def _gate_slices(z, hidden):
+    i = _sigmoid(z[:, :hidden])
+    f = _sigmoid(z[:, hidden:2 * hidden])
+    g = jnp.tanh(z[:, 2 * hidden:3 * hidden])
+    o = _sigmoid(z[:, 3 * hidden:])
+    return i, f, g, o
+
+
 def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
-                hs_ref, cs_ref, acts_ref, hT_ref, cT_ref,
+                hs_ref, cs_ref, hT_ref, cT_ref,
                 h_s, c_s):
-    """Grid (NB, T): one batch tile × one timestep per invocation.  The
-    scratch h_s/c_s persist across the T-innermost iterations of a tile."""
+    """Grid (NB, T): one batch tile × one timestep per invocation.  Scratch
+    h_s/c_s persist across the T-innermost iterations of a tile."""
     t = pl.program_id(1)
     T = pl.num_programs(1)
+    cdt = xw_ref.dtype
 
     @pl.when(t == 0)
     def _():
@@ -56,22 +86,16 @@ def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
         c_s[:] = c0_ref[:]
 
     hidden = u_ref.shape[0]
-    z = xw_ref[0].astype(jnp.float32) + jnp.dot(
-        h_s[:].astype(u_ref.dtype), u_ref[:],
-        preferred_element_type=jnp.float32)
+    z = (xw_ref[0] + jnp.dot(h_s[:].astype(cdt), u_ref[:],
+                             preferred_element_type=jnp.float32).astype(cdt))
+    i, f, g, o = _gate_slices(z, hidden)
 
-    i = jax.nn.sigmoid(z[:, :hidden])
-    f = jax.nn.sigmoid(z[:, hidden:2 * hidden])
-    g = jnp.tanh(z[:, 2 * hidden:3 * hidden])
-    o = jax.nn.sigmoid(z[:, 3 * hidden:])
+    c_new = f.astype(jnp.float32) * c_s[:] + (i * g).astype(jnp.float32)
+    h_new = (o.astype(jnp.float32)
+             * jnp.tanh(c_new.astype(cdt)).astype(jnp.float32))
 
-    c_new = f * c_s[:] + i * g
-    h_new = o * jnp.tanh(c_new)
-
-    # Tapes for the backward pass (activations in compute dtype).
-    acts_ref[0] = jnp.concatenate([i, f, g, o], axis=-1).astype(acts_ref.dtype)
-    cs_ref[0] = c_s[:]          # c_{t-1}, needed for df
-    hs_ref[0] = h_new
+    cs_ref[0] = c_s[:].astype(cdt)       # c_{t-1} tape
+    hs_ref[0] = h_new.astype(cdt)
     h_s[:] = h_new
     c_s[:] = c_new
 
@@ -81,18 +105,19 @@ def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
         cT_ref[:] = c_new
 
 
-def _bwd_kernel(u_ref, acts_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dcT_ref,
+def _bwd_kernel(u_ref, xw_ref, hs_prev_ref, cs_prev_ref, dhs_ref, dcT_ref,
                 dxw_ref, du_ref, dh0_ref, dc0_ref,
                 dh_s, dc_s, du_s):
-    """Grid (NB, T): step r walks t = T-1-r within each batch tile (the tapes
-    are pre-reversed along time).  Carries dh/dc in scratch per tile,
-    accumulates dU across the entire grid, streams d(xw_t) out.  Terminal
-    cotangents enter as initial carries: dhT pre-folded into dhs[T-1], dcT
-    seeding dc_s."""
+    """Grid (NB, T): step r walks t = T-1-r within each batch tile (tapes are
+    pre-reversed along time).  Recomputes the gates from xw + h_prev@U, then
+    carries dh/dc in scratch, accumulates dU across the whole grid, streams
+    d(xw_t) out.  Terminal cotangents: dhT pre-folded into dhs[T-1]; dcT
+    seeds dc_s."""
     b = pl.program_id(0)
     NB = pl.num_programs(0)
     r = pl.program_id(1)
     T = pl.num_programs(1)
+    cdt = xw_ref.dtype
 
     @pl.when(r == 0)
     def _():
@@ -104,65 +129,60 @@ def _bwd_kernel(u_ref, acts_ref, cs_prev_ref, hs_prev_ref, dhs_ref, dcT_ref,
         du_s[:] = jnp.zeros_like(du_s)
 
     hidden = u_ref.shape[0]
-    acts = acts_ref[0].astype(jnp.float32)
-    i = acts[:, :hidden]
-    f = acts[:, hidden:2 * hidden]
-    g = acts[:, 2 * hidden:3 * hidden]
-    o = acts[:, 3 * hidden:]
+    h_prev = hs_prev_ref[0]
+    # Recompute the forward gates (identical formulas ⇒ identical values).
+    z = (xw_ref[0] + jnp.dot(h_prev, u_ref[:],
+                             preferred_element_type=jnp.float32).astype(cdt))
+    i, f, g, o = _gate_slices(z, hidden)
     c_prev = cs_prev_ref[0].astype(jnp.float32)
 
-    c_new = f * c_prev + i * g
-    tanh_c = jnp.tanh(c_new)
+    c_new = f.astype(jnp.float32) * c_prev + (i * g).astype(jnp.float32)
+    tanh_c = jnp.tanh(c_new.astype(cdt)).astype(jnp.float32)
+
+    i32, f32_, g32, o32 = (i.astype(jnp.float32), f.astype(jnp.float32),
+                           g.astype(jnp.float32), o.astype(jnp.float32))
 
     dh = dh_s[:] + dhs_ref[0].astype(jnp.float32)
     do = dh * tanh_c
-    dc = dc_s[:] + dh * o * (1.0 - tanh_c * tanh_c)
-    di = dc * g
+    dc = dc_s[:] + dh * o32 * (1.0 - tanh_c * tanh_c)
+    di = dc * g32
     df = dc * c_prev
-    dg = dc * i
+    dg = dc * i32
 
     dz = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
+        di * i32 * (1.0 - i32),
+        df * f32_ * (1.0 - f32_),
+        dg * (1.0 - g32 * g32),
+        do * o32 * (1.0 - o32),
     ], axis=-1)
 
-    dxw_ref[0] = dz.astype(dxw_ref.dtype)
+    dzc = dz.astype(cdt)
+    dxw_ref[0] = dzc
     # dU += h_{t-1}^T @ dz ; dh_{t-1} = dz @ U^T
-    h_prev = hs_prev_ref[0]
-    du_s[:] += jnp.dot(h_prev.T.astype(u_ref.dtype), dz.astype(u_ref.dtype),
-                       preferred_element_type=jnp.float32)
-    dh_prev = jnp.dot(dz.astype(u_ref.dtype), u_ref[:].T,
-                      preferred_element_type=jnp.float32)
+    du_s[:] += jnp.dot(h_prev.T, dzc, preferred_element_type=jnp.float32)
+    dh_prev = jnp.dot(dzc, u_ref[:].T, preferred_element_type=jnp.float32)
 
     dh_s[:] = dh_prev
-    dc_s[:] = dc * f
+    dc_s[:] = dc * f32_
 
     @pl.when(r == T - 1)
     def _():
         dh0_ref[:] = dh_prev
-        dc0_ref[:] = (dc * f)
+        dc0_ref[:] = (dc * f32_)
 
     @pl.when((r == T - 1) & (b == NB - 1))
     def _():
         du_ref[:] = du_s[:]
 
 
-def _tiling(B: int) -> Tuple[int, int]:
-    BT = _pick_batch_tile(B)
-    if B % BT != 0:
-        return B, 1
-    return BT, B // BT
-
-
 def _forward_impl(xw, u, h0, c0, compute_dtype):
     T, B, H4 = xw.shape
     H = H4 // 4
     f32 = jnp.float32
+    cdt = compute_dtype
     BT, NB = _tiling(B)
 
-    hs, cs_prev, acts, hT, cT = pl.pallas_call(
+    hs, cs_prev, hT, cT = pl.pallas_call(
         _fwd_kernel,
         grid=(NB, T),
         in_specs=[
@@ -180,19 +200,16 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, H4), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, H), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, H), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), f32),             # hs
-            jax.ShapeDtypeStruct((T, B, H), f32),             # c_{t-1} tape
-            jax.ShapeDtypeStruct((T, B, H4), compute_dtype),  # gate acts tape
-            jax.ShapeDtypeStruct((B, H), f32),                # h_T
-            jax.ShapeDtypeStruct((B, H), f32),                # c_T
+            jax.ShapeDtypeStruct((T, B, H), cdt),   # h tape
+            jax.ShapeDtypeStruct((T, B, H), cdt),   # c_{t-1} tape
+            jax.ShapeDtypeStruct((B, H), f32),      # h_T
+            jax.ShapeDtypeStruct((B, H), f32),      # c_T
         ],
         scratch_shapes=[
             pltpu.VMEM((BT, H), f32),
@@ -201,26 +218,27 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * H4 + 10 * T * B * H4,
             bytes_accessed=(xw.size * xw.dtype.itemsize
-                            + 3 * T * B * H * 4 + T * B * H4),
-            transcendentals=4 * T * B * H4,
+                            + 2 * T * B * H * jnp.dtype(cdt).itemsize),
+            transcendentals=5 * T * B * H4,
         ),
-    )(xw.astype(compute_dtype), u.astype(compute_dtype),
-      h0.astype(f32), c0.astype(f32))
-    return hs, cs_prev, acts, hT, cT
+    )(xw.astype(cdt), u.astype(cdt), h0.astype(f32), c0.astype(f32))
+    return hs, cs_prev, hT, cT
 
 
 def _fwd_rule(xw, u, h0, c0, compute_dtype):
-    hs, cs_prev, acts, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
-    residuals = (u, acts, cs_prev, hs, h0)
-    return (hs, (hT, cT)), residuals
+    xw = xw.astype(compute_dtype)
+    hs, cs_prev, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
+    residuals = (u, xw, cs_prev, hs, h0)
+    return (hs.astype(jnp.float32), (hT, cT)), residuals
 
 
 def _bwd_rule(compute_dtype, residuals, grads):
-    u, acts, cs_prev, hs, h0 = residuals
+    u, xw, cs_prev, hs, h0 = residuals
     dhs, (dhT, dcT) = grads
     T, B, H = hs.shape
     H4 = 4 * H
     f32 = jnp.float32
+    cdt = compute_dtype
     BT, NB = _tiling(B)
 
     # Fold terminal cotangents into the recurrence: dhT joins the last step's
@@ -229,7 +247,7 @@ def _bwd_rule(compute_dtype, residuals, grads):
     dcT = dcT.astype(f32)
 
     # h_{t-1} tape: shift hs right by one, h_{-1} = h0.
-    hs_prev = jnp.concatenate([h0[None].astype(f32), hs[:-1]], axis=0)
+    hs_prev = jnp.concatenate([h0[None].astype(cdt), hs[:-1]], axis=0)
 
     # Reverse along time so grid index r maps to t = T-1-r with plain forward
     # block indexing.
@@ -263,7 +281,7 @@ def _bwd_rule(compute_dtype, residuals, grads):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), f32),
+            jax.ShapeDtypeStruct((T, B, H4), cdt),
             jax.ShapeDtypeStruct((H, H4), f32),
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
@@ -274,15 +292,14 @@ def _bwd_rule(compute_dtype, residuals, grads):
             pltpu.VMEM((H, H4), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * T * B * H * H4 + 20 * T * B * H4,
-            bytes_accessed=3 * T * B * H4 * 4,
-            transcendentals=2 * T * B * H,
+            flops=6 * T * B * H * H4 + 30 * T * B * H4,
+            bytes_accessed=2 * T * B * H4 * jnp.dtype(cdt).itemsize,
+            transcendentals=7 * T * B * H4,
         ),
-    )(u.astype(compute_dtype), rev(acts), rev(cs_prev), rev(hs_prev),
-      rev(dhs), dcT)
+    )(u.astype(cdt), rev(xw), rev(hs_prev), rev(cs_prev), rev(dhs), dcT)
 
     dxw = jnp.flip(dxw_rev, axis=0)
-    return dxw.astype(compute_dtype), du.astype(u.dtype), dh0, dc0
+    return dxw.astype(cdt), du.astype(u.dtype), dh0, dc0
 
 
 @functools.lru_cache(maxsize=None)
@@ -293,8 +310,8 @@ def _make_recurrence(dtype_name: str):
 
     @jax.custom_vjp
     def recurrence(xw, u, h0, c0):
-        hs, _, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
-        return hs, (hT, cT)
+        hs, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
+        return hs.astype(jnp.float32), (hT, cT)
 
     def fwd_rule(xw, u, h0, c0):
         return _fwd_rule(xw, u, h0, c0, compute_dtype)
@@ -309,7 +326,8 @@ def _make_recurrence(dtype_name: str):
 def pallas_lstm_recurrence(xw, u, h0, c0, compute_dtype=jnp.float32):
     """Fused recurrence: xw [T, B, 4H] (= x@W + b), u [H, 4H], h0/c0 [B, H].
 
-    Returns (hs [T, B, H], (h_T, c_T)).  Differentiable w.r.t. xw, u, h0, c0.
+    Returns (hs [T, B, H] float32, (h_T, c_T)).  Differentiable w.r.t.
+    xw, u, h0, c0.
     """
     dt = jnp.dtype(compute_dtype)
     # Cast up front so the primal/cotangent dtypes agree with the closure.

@@ -1,0 +1,121 @@
+"""Differential tests: the native C++ decoder must be bit-identical to the
+Python codec on generated corpora, including every quirk (boundary replay
+suppression, tail-frame snapshot volume, additive multi-track merge)."""
+
+import io
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from music_generator_tpu import midi
+from music_generator_tpu.midi import native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not native.available():
+        subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                       check=True, capture_output=True)
+        native._LIB_TRIED = False      # re-probe after build
+    assert native.available()
+
+
+def _roundtrip_bytes(pattern):
+    buf = io.BytesIO()
+    midi.write_midifile(buf, pattern)
+    return buf.getvalue()
+
+
+def _random_pattern(seed, tracks=1, events_per_track=60, resolution=96):
+    rng = np.random.default_rng(seed)
+    pattern = midi.Pattern(resolution=resolution)
+    for _ in range(tracks):
+        track = midi.Track()
+        sounding = set()
+        for _ in range(events_per_track):
+            tick = int(rng.integers(0, 40))
+            pitch = int(rng.integers(20, 100))
+            kind = rng.random()
+            if kind < 0.55 or not sounding:
+                track.append(midi.NoteOnEvent(
+                    tick=tick, pitch=pitch,
+                    velocity=int(rng.integers(1, 128))))
+                sounding.add(pitch)
+            elif kind < 0.9:
+                p = int(rng.choice(sorted(sounding)))
+                track.append(midi.NoteOffEvent(tick=tick, pitch=p))
+                sounding.discard(p)
+            else:
+                # NoteOn velocity 0 == off
+                p = int(rng.choice(sorted(sounding)))
+                track.append(midi.NoteOnEvent(tick=tick, pitch=p, velocity=0))
+                sounding.discard(p)
+        track.append(midi.EndOfTrackEvent(tick=int(rng.integers(0, 30))))
+        pattern.append(track)
+    return pattern
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_native_matches_python_random_single_track(seed):
+    pattern = _random_pattern(seed)
+    data = _roundtrip_bytes(pattern)
+    py = midi.midi_decode(midi.read_midifile(io.BytesIO(data)), 128)
+    nat = native.native_decode_bytes(data)
+    assert py.shape == nat.shape
+    np.testing.assert_array_equal(py, nat)
+
+
+@pytest.mark.parametrize("seed", [100, 101, 102])
+def test_native_matches_python_multitrack(seed):
+    pattern = _random_pattern(seed, tracks=3, events_per_track=40)
+    data = _roundtrip_bytes(pattern)
+    py = midi.midi_decode(midi.read_midifile(io.BytesIO(data)), 128)
+    nat = native.native_decode_bytes(data)
+    np.testing.assert_array_equal(py, nat)
+
+
+def test_native_replay_semantics():
+    """Re-articulations at boundary and inner ticks."""
+    pattern = midi.Pattern(resolution=8)   # step = 8/4 = 2
+    track = midi.Track([
+        midi.NoteOnEvent(tick=0, pitch=60, velocity=100),
+        midi.NoteOnEvent(tick=3, pitch=60, velocity=90),   # inner → replay
+        midi.NoteOnEvent(tick=1, pitch=60, velocity=80),   # boundary tick 4
+        midi.NoteOffEvent(tick=5, pitch=60),
+        midi.EndOfTrackEvent(tick=2),
+    ])
+    pattern.append(track)
+    data = _roundtrip_bytes(pattern)
+    py = midi.midi_decode(midi.read_midifile(io.BytesIO(data)), 128)
+    nat = native.native_decode_bytes(data)
+    np.testing.assert_array_equal(py, nat)
+    # Sanity: inner replay detected, boundary one suppressed.
+    assert py[:, 60, 1].sum() == 1
+
+
+def test_native_file_roundtrip(tmp_path):
+    pattern = _random_pattern(7, tracks=2)
+    path = str(tmp_path / "x.mid")
+    midi.write_midifile(path, pattern)
+    py = midi.midi_decode(midi.read_midifile(path), 128)
+    nat = native.native_decode_file(path)
+    np.testing.assert_array_equal(py, nat)
+
+
+def test_load_midi_uses_native_and_caches(tmp_path, monkeypatch):
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import load_midi
+    cfg = default_config().replace(out_dir=str(tmp_path / "out"))
+    monkeypatch.chdir(tmp_path)
+    pattern = _random_pattern(9)
+    midi.write_midifile("y.mid", pattern)
+    roll = load_midi("y.mid", cfg)
+    assert roll.shape[1:] == (128, 3)
+    assert os.path.exists(os.path.join(cfg.cache_dir, "y.mid.npy"))
+    # Cache hit path returns identical data.
+    roll2 = load_midi("y.mid", cfg)
+    np.testing.assert_array_equal(roll, roll2)
