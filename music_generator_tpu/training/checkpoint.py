@@ -47,7 +47,11 @@ def build_or_load(model: DeepJ, seed: int = 0,
                   path: Optional[str] = None) -> Tuple[Params, bool]:
     """Build params, then best-effort restore from the checkpoint file
     (ref: util.py:13-23 — including the swallow-errors-and-continue
-    semantics, but we log what happened rather than a bare except)."""
+    semantics, but we log what happened rather than a bare except).
+
+    The checkpoint holds a full TrainState (params + optimizer state + step;
+    training.trainer writes it), so the restore target is built in that
+    shape and the params subtree extracted."""
     cfg = model.cfg
     params = init_params(jax.random.key(seed), cfg)
     if not allow_load:
@@ -57,9 +61,11 @@ def build_or_load(model: DeepJ, seed: int = 0,
         print("Unable to load model from file.")
         return params, False
     try:
-        restored = store.restore(params)
+        from music_generator_tpu.parallel.train_step import create_train_state
+        target, _ = create_train_state(model, seed)
+        restored = store.restore(target)
         print("Loaded model from file.")
-        return jax.tree.map(jax.numpy.asarray, restored), True
+        return jax.tree.map(jax.numpy.asarray, restored.params), True
     except Exception as e:  # parity: never fail startup on a bad checkpoint
         print(f"Unable to load model from file. ({type(e).__name__}: {e})")
         return params, False

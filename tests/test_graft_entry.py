@@ -1,0 +1,21 @@
+"""The driver contract: entry() compiles single-chip; dryrun_multichip runs
+a full sharded train step on the virtual 8-device CPU mesh."""
+
+import sys
+import os
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as graft
+
+
+def test_entry_jits():
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 128, 48, 3)
+
+
+def test_dryrun_multichip_8():
+    graft.dryrun_multichip(8)

@@ -168,3 +168,21 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_or_load_restores_trainer_checkpoint(tmp_path):
+    """generate.py's build_or_load must restore what the TRAINER saved (full
+    TrainState) — regression for the structure-mismatch silent fallback."""
+    from music_generator_tpu.training.checkpoint import build_or_load
+    cfg = small_config(batch_size=4, out_dir=str(tmp_path / "out"))
+    model = DeepJ(cfg)
+    ds = _synthetic_dataset(cfg, n=4)
+    trainer = Trainer(model, TrainConfig(epochs=1, tensorboard=False),
+                      mesh=make_mesh(jax.devices()[:1]))
+    trainer.fit(ds)
+
+    params, loaded = build_or_load(model, seed=99)
+    assert loaded, "trainer checkpoint must be restorable by build_or_load"
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
