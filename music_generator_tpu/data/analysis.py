@@ -1,0 +1,125 @@
+"""Corpus statistics: note distributions, sequence lengths, autocorrelation.
+
+The reference ships a broken analysis script (ref: distribution.py — imports
+a nonexistent `music` module and a `dataset.load_melodies` that doesn't
+exist; SURVEY.md §2 #17).  This module rebuilds its *intent* on the actual
+pipeline: statistics over the decoded piano-roll corpus, written as TSV/JSON
+(plots render anywhere) plus optional matplotlib PNGs when available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from music_generator_tpu.config import Config, default_config
+from music_generator_tpu.midi.codec import load_midi
+from music_generator_tpu.utils import get_all_files
+
+
+def note_distribution(rolls: Sequence[np.ndarray]) -> np.ndarray:
+    """Total play mass per MIDI pitch, over all sequences → [128]."""
+    hist = np.zeros(128)
+    for roll in rolls:
+        hist += roll[:, :, 0].sum(axis=0)
+    return hist
+
+
+def length_distribution(rolls: Sequence[np.ndarray]) -> np.ndarray:
+    """Sequence lengths in piano-roll timesteps."""
+    return np.array([len(r) for r in rolls])
+
+
+def autocorrelation(roll: np.ndarray, max_lag: int = 64) -> np.ndarray:
+    """Autocorrelation of the total-activity signal (how periodic the piece
+    is on the 16th-note grid) → [max_lag]."""
+    sig = roll[:, :, 0].sum(axis=1)
+    sig = sig - sig.mean()
+    denom = float(np.dot(sig, sig))
+    if denom == 0 or len(sig) < 2:
+        return np.zeros(max_lag)
+    out = np.zeros(max_lag)
+    for lag in range(1, min(max_lag, len(sig) - 1) + 1):
+        out[lag - 1] = float(np.dot(sig[:-lag], sig[lag:])) / denom
+    return out
+
+
+def analyze_corpus(styles: Optional[Sequence[Sequence[str]]] = None,
+                   config: Optional[Config] = None,
+                   out_dir: Optional[str] = None) -> Dict:
+    """Walk the corpus, decode (cached), and write statistics.
+
+    Outputs (under <out_dir or cfg.out_dir>/analysis/):
+      corpus_stats.json, note_distribution.tsv, lengths.tsv,
+      autocorrelation.tsv (mean across pieces)
+    """
+    cfg = config or default_config()
+    styles = styles if styles is not None else cfg.styles
+    target = os.path.join(out_dir or cfg.out_dir, "analysis")
+    os.makedirs(target, exist_ok=True)
+
+    per_style: Dict[str, int] = {}
+    rolls: List[np.ndarray] = []
+    for style in (y for x in styles for y in x):
+        files = get_all_files([style])
+        per_style[style] = len(files)
+        for f in files:
+            try:
+                rolls.append(load_midi(f, cfg))
+            except Exception as e:
+                print(f"skipping {f}: {type(e).__name__}: {e}")
+
+    notes_hist = note_distribution(rolls)
+    lengths = length_distribution(rolls)
+    acs = [autocorrelation(r) for r in rolls if len(r) > 2]
+    mean_ac = np.mean(acs, axis=0) if acs else np.zeros(64)
+
+    stats = {
+        "num_files": len(rolls),
+        "files_per_style": per_style,
+        "total_timesteps": int(lengths.sum()) if len(lengths) else 0,
+        "mean_length": float(lengths.mean()) if len(lengths) else 0.0,
+        "median_length": float(np.median(lengths)) if len(lengths) else 0.0,
+        "pitch_range_used": [
+            int(np.nonzero(notes_hist)[0].min()),
+            int(np.nonzero(notes_hist)[0].max()),
+        ] if notes_hist.any() else None,
+        "notes_per_timestep": float(
+            notes_hist.sum() / max(1, lengths.sum())),
+    }
+
+    np.savetxt(os.path.join(target, "note_distribution.tsv"),
+               np.stack([np.arange(128), notes_hist], 1),
+               delimiter="\t", header="pitch\tcount", comments="")
+    np.savetxt(os.path.join(target, "lengths.tsv"), lengths,
+               delimiter="\t", header="timesteps", comments="")
+    np.savetxt(os.path.join(target, "autocorrelation.tsv"),
+               np.stack([np.arange(1, len(mean_ac) + 1), mean_ac], 1),
+               delimiter="\t", header="lag\tautocorr", comments="")
+    with open(os.path.join(target, "corpus_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+
+    _maybe_plot(target, notes_hist, lengths, mean_ac)
+    return stats
+
+
+def _maybe_plot(target: str, notes_hist, lengths, mean_ac) -> None:
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    axes[0].bar(np.arange(128), notes_hist)
+    axes[0].set_title("note distribution")
+    axes[1].hist(lengths, bins=30)
+    axes[1].set_title("sequence lengths")
+    axes[2].plot(np.arange(1, len(mean_ac) + 1), mean_ac)
+    axes[2].set_title("mean autocorrelation")
+    fig.tight_layout()
+    fig.savefig(os.path.join(target, "corpus_stats.png"), dpi=100)
+    plt.close(fig)

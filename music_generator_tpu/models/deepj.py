@@ -240,15 +240,30 @@ class DeepJ:
 
         conv_out = self.octave_conv(params, notes, rng, train)
         x = self.note_features(notes, beat, conv_out)
+        x_tm = self.time_axis_tm(params, x.transpose(1, 0, 2, 3),
+                                 style_emb.transpose(1, 0, 2), rng, train)
+        return x_tm.transpose(1, 0, 2, 3)
 
+    def time_axis_tm(self, params: Params, x: jax.Array, style_emb_tm: jax.Array,
+                     rng=None, train: bool = False) -> jax.Array:
+        """Time-major core: x [T, B, N, F], style_emb_tm [T, B, style_units]
+        → [T, B, N, time_units].
+
+        Stays in the scan-major layout across both layers — one transpose in,
+        one out, instead of a 400MB relayout per layer (the HBM-bandwidth
+        lesson from profiling the v1 step)."""
+        cfg = self.cfg
+        T, B, N, _ = x.shape
         for l, layer in enumerate(params.time_axis):
-            x = self._style_add(layer, x, style_emb, rng, train, f"tstyle{l}")
-            # Scan over time; (batch × notes) is the effective batch.
-            xs = x.transpose(1, 0, 2, 3).reshape(T, B * N, x.shape[-1])
-            hs, _ = lstm_scan(layer.lstm, xs, compute_dtype=self._dt(),
-                              kernel=self._kernel())
-            x = hs.reshape(T, B, N, -1).transpose(1, 0, 2, 3)
-            x = dropout(_sub(rng, f"tdrop{l}"), x, cfg.dropout, train)
+            proj = jnp.tanh(dense_apply(layer.style_proj, style_emb_tm,
+                                        self._dt()))          # [T, B, F]
+            proj = jnp.broadcast_to(proj[:, :, None, :], x.shape)
+            proj = dropout(_sub(rng, f"tstyle{l}"), proj, cfg.dropout, train)
+            x = x + proj
+            hs, _ = lstm_scan(layer.lstm, x.reshape(T, B * N, x.shape[-1]),
+                              compute_dtype=self._dt(), kernel=self._kernel())
+            x = dropout(_sub(rng, f"tdrop{l}"), hs.reshape(T, B, N, -1),
+                        cfg.dropout, train)
         return x
 
     # -- note axis (ref: model.py:91-126) ---------------------------------
@@ -256,24 +271,36 @@ class DeepJ:
     def note_axis(self, params: Params, time_out: jax.Array, chosen: jax.Array,
                   style_emb: jax.Array, rng=None, train: bool = False) -> jax.Array:
         """[B, T, N, time_units] + teacher-forced targets → [B, T, N, 3]."""
+        out_nm = self.note_axis_nm(params, time_out.transpose(2, 0, 1, 3),
+                                   chosen, style_emb, rng, train)
+        return out_nm.transpose(1, 2, 0, 3)
+
+    def note_axis_nm(self, params: Params, time_out_nm: jax.Array,
+                     chosen: jax.Array, style_emb: jax.Array,
+                     rng=None, train: bool = False) -> jax.Array:
+        """Note-major core: time_out_nm [N, B, T, time_units],
+        chosen [B, T, N, 3] (batch-major; small) → [N, B, T, 3]."""
         cfg = self.cfg
-        B, T, N, _ = time_out.shape
+        N, B, T, _ = time_out_nm.shape
 
         # Shift targets one NOTE down so note n conditions on notes < n
-        # (ref: model.py:100-104).
-        shift_chosen = jnp.pad(chosen[:, :, :-1, :],
-                               ((0, 0), (0, 0), (1, 0), (0, 0)))
-        x = jnp.concatenate([time_out, shift_chosen.astype(time_out.dtype)],
-                            axis=-1)
+        # (ref: model.py:100-104); note-major: prepend a zero note row.
+        chosen_nm = chosen.transpose(2, 0, 1, 3)
+        shift_chosen = jnp.concatenate(
+            [jnp.zeros_like(chosen_nm[:1]), chosen_nm[:-1]], axis=0)
+        x = jnp.concatenate(
+            [time_out_nm, shift_chosen.astype(time_out_nm.dtype)], axis=-1)
 
         for l, layer in enumerate(params.note_axis):
-            x = self._style_add(layer, x, style_emb, rng, train, f"nstyle{l}")
-            # Scan over notes; (batch × time) is the effective batch.
-            xs = x.transpose(2, 0, 1, 3).reshape(N, B * T, x.shape[-1])
-            hs, _ = lstm_scan(layer.lstm, xs, compute_dtype=self._dt(),
-                              kernel=self._kernel())
-            x = hs.reshape(N, B, T, -1).transpose(1, 2, 0, 3)
-            x = dropout(_sub(rng, f"ndrop{l}"), x, cfg.dropout, train)
+            proj = jnp.tanh(dense_apply(layer.style_proj, style_emb,
+                                        self._dt()))          # [B, T, F]
+            proj = jnp.broadcast_to(proj[None], x.shape)
+            proj = dropout(_sub(rng, f"nstyle{l}"), proj, cfg.dropout, train)
+            x = x + proj
+            hs, _ = lstm_scan(layer.lstm, x.reshape(N, B * T, x.shape[-1]),
+                              compute_dtype=self._dt(), kernel=self._kernel())
+            x = dropout(_sub(rng, f"ndrop{l}"), hs.reshape(N, B, T, -1),
+                        cfg.dropout, train)
 
         return self.heads(params, x)
 
@@ -296,8 +323,16 @@ class DeepJ:
         chosen = dropout(_sub(rng, "in_chosen"), chosen, cfg.input_dropout, train)
 
         style_emb = self.style_embedding(params, style)
-        time_out = self.time_axis(params, notes, beat, style_emb, rng, train)
-        return self.note_axis(params, time_out, chosen, style_emb, rng, train)
+        # Fused layout path: features → time-major scans → one relayout to
+        # note-major → pitch scans → heads; the [B,T,N,·] order only exists
+        # at the (tiny) input and output tensors.
+        conv_out = self.octave_conv(params, notes, rng, train)
+        feats = self.note_features(notes, beat, conv_out)
+        t_out_tm = self.time_axis_tm(params, feats.transpose(1, 0, 2, 3),
+                                     style_emb.transpose(1, 0, 2), rng, train)
+        out_nm = self.note_axis_nm(params, t_out_tm.transpose(2, 1, 0, 3),
+                                   chosen, style_emb, rng, train)
+        return out_nm.transpose(1, 2, 0, 3)
 
     # -- loss (ref: model.py:14-20) ---------------------------------------
 

@@ -1,0 +1,61 @@
+"""Corpus analysis tests (the working rebuild of the reference's dead
+distribution.py — SURVEY.md §2 #17)."""
+
+import json
+import os
+
+import numpy as np
+
+from music_generator_tpu import midi
+from music_generator_tpu.config import default_config
+from music_generator_tpu.data.analysis import (
+    analyze_corpus,
+    autocorrelation,
+    length_distribution,
+    note_distribution,
+)
+
+
+def test_note_and_length_distribution():
+    r1 = np.zeros((10, 128, 3))
+    r1[:, 60, 0] = 1
+    r2 = np.zeros((4, 128, 3))
+    r2[:2, 72, 0] = 1
+    hist = note_distribution([r1, r2])
+    assert hist[60] == 10 and hist[72] == 2 and hist.sum() == 12
+    np.testing.assert_array_equal(length_distribution([r1, r2]), [10, 4])
+
+
+def test_autocorrelation_periodic_signal():
+    roll = np.zeros((64, 128, 3))
+    roll[::4, 50, 0] = 1          # strict period-4 pulse
+    ac = autocorrelation(roll, max_lag=8)
+    assert ac[3] > 0.9            # lag 4 (index 3)
+    assert ac[0] < 0.5
+
+
+def test_analyze_corpus_end_to_end(tmp_path, monkeypatch):
+    cfg = default_config().replace(out_dir=str(tmp_path / "out"))
+    styledir = tmp_path / "data" / "baroque" / "bach"
+    styledir.mkdir(parents=True)
+    monkeypatch.chdir(tmp_path)
+
+    rng = np.random.default_rng(0)
+    T = 64
+    play = np.zeros((T, 128))
+    play[::4, 60] = 1
+    vol = play * 0.5
+    pattern = midi.midi_encode(np.stack([play, np.zeros((T, 128)), vol], 2),
+                               step=1)
+    midi.write_midifile(str(styledir / "a.mid"), pattern)
+
+    stats = analyze_corpus([[str(styledir)]], cfg)
+    assert stats["num_files"] == 1
+    assert stats["pitch_range_used"] == [60, 60]
+    adir = tmp_path / "out" / "analysis"
+    assert (adir / "corpus_stats.json").exists()
+    assert (adir / "note_distribution.tsv").exists()
+    assert (adir / "lengths.tsv").exists()
+    assert (adir / "autocorrelation.tsv").exists()
+    loaded = json.load(open(adir / "corpus_stats.json"))
+    assert loaded["num_files"] == 1
