@@ -20,7 +20,8 @@ from music_generator_tpu.data.dataset import compute_genre, load_all
 from music_generator_tpu.generation.sampler import Sampler, write_file
 from music_generator_tpu.models.deepj import DeepJ
 from music_generator_tpu.training.checkpoint import build_or_load
-from music_generator_tpu.training.trainer import TrainConfig, Trainer
+from music_generator_tpu.training.trainer import (TrainConfig, Trainer,
+                                                   maybe_init_distributed)
 from music_generator_tpu.utils import one_hot
 
 
@@ -31,8 +32,11 @@ def train_main(argv=None) -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-resume", action="store_true",
                         help="Skip loading an existing checkpoint")
+    parser.add_argument("--profile", action="store_true",
+                        help="Write an XLA profiler trace of early steps")
     args = parser.parse_args(argv)
 
+    maybe_init_distributed()
     cfg = default_config()
     model = DeepJ(cfg)
 
@@ -40,7 +44,10 @@ def train_main(argv=None) -> None:
     ds = load_all(cfg.styles, cfg.seq_len, cfg)
     print(f"{len(ds)} training windows")
 
-    trainer = Trainer(model, TrainConfig(seed=args.seed))
+    import jax
+    if jax.process_count() > 1:
+        ds = ds.shard(jax.process_index(), jax.process_count())
+    trainer = Trainer(model, TrainConfig(seed=args.seed, profile=args.profile))
     if not args.no_resume:
         trainer.maybe_restore()
 

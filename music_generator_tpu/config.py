@@ -122,6 +122,9 @@ class Config:
     lstm_kernel: str = "auto"      # "auto" | "pallas" | "xla"
     # Octave-transpose data augmentation (flag off for parity runs).
     transpose_augment: int = 0     # max semitone shift (0 disables)
+    # Hardware RBG PRNG for training dropout masks (generation sampling
+    # always stays on the cross-platform threefry PRNG).
+    fast_dropout_rng: bool = True
 
     # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
     @property

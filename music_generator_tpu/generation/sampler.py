@@ -50,13 +50,20 @@ class GenerationResult:
 
 
 class Sampler:
-    """Compiles once per (num_generations, num_steps) and streams MIDI."""
+    """Compiles once per (num_generations, num_steps) and streams MIDI.
 
-    def __init__(self, model: DeepJ, params: Params, default_temp: float = 1.0):
+    With a mesh, the generation batch (the style-mixture axis) shards over
+    the `data` axis — BASELINE config 4's 64 parallel samples ride a
+    v5e-8 as 8 per chip with zero cross-chip traffic (the recurrences are
+    independent per generation; XLA partitions the whole scan)."""
+
+    def __init__(self, model: DeepJ, params: Params, default_temp: float = 1.0,
+                 mesh=None):
         self.model = model
         self.params = params
         self.cfg = model.cfg
         self.default_temp = default_temp
+        self.mesh = mesh
 
     # -- one timestep ------------------------------------------------------
 
@@ -150,6 +157,11 @@ class Sampler:
         on-device (ref: generate.py:98-121's API, minus the host loop)."""
         cfg = self.cfg
         styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = self.mesh.axis_names[0]
+            styles_arr = jax.device_put(
+                styles_arr, NamedSharding(self.mesh, P(axis)))
         num_steps = cfg.notes_per_bar * num_bars
         notes = self._generate_jit(self.params, styles_arr, num_steps,
                                    jnp.uint32(seed))

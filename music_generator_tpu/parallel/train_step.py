@@ -59,6 +59,13 @@ def make_train_step(model: DeepJ, optimizer: optax.GradientTransformation,
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
                                  state.step)
+        # Dropout masks don't need cross-platform reproducibility (unlike
+        # generation sampling) — use the hardware RBG generator, ~5x cheaper
+        # than threefry for the ~100M mask bits per step.
+        if model.cfg.fast_dropout_rng:
+            data = jax.random.key_data(rng)
+            rng = jax.random.wrap_key_data(
+                jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg")
 
         def loss_fn(params):
             return model.loss(params, batch, rng=rng, train=True)

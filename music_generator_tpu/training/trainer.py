@@ -9,6 +9,7 @@ pjit-compiled step over the data mesh with on-host metric/throughput logging.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Sequence
 
@@ -36,6 +37,24 @@ class TrainConfig:
     log_every: int = 10                   # batches between metric logs
     checkpoint: bool = True
     tensorboard: bool = True
+    # Write an XLA profiler trace of steps [profile_start, profile_stop) of
+    # epoch 0 to <log_dir>/profile (view with xprof/tensorboard).  The
+    # reference had no profiling at all (SURVEY.md §5).
+    profile: bool = False
+    profile_start: int = 5
+    profile_stop: int = 10
+
+
+def maybe_init_distributed() -> None:
+    """Initialize multi-host JAX when launched under a cluster (no-op
+    otherwise).  jax.distributed reads the coordinator address / process
+    ranks from the environment (JAX_COORDINATOR_ADDRESS etc. or the cloud
+    TPU metadata)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
 
 
 class Trainer:
@@ -86,13 +105,20 @@ class Trainer:
         best_loss = float("inf")
         bad_epochs = 0
         history = {"loss": []}
+        profile_dir = os.path.join(cfg.log_dir, "profile")
 
         for epoch in range(epochs):
             epoch_losses = []
             meter.reset()
             t0 = time.perf_counter()
-            for batch in batches(ds, batch_size, rng=rng,
-                                 drop_remainder=False):
+            for bi, batch in enumerate(batches(ds, batch_size, rng=rng,
+                                               drop_remainder=False)):
+                if tc.profile and epoch == 0:
+                    if bi == tc.profile_start:
+                        jax.profiler.start_trace(profile_dir)
+                    elif bi == tc.profile_stop:
+                        jax.profiler.stop_trace()
+                        print(f"profiler trace written to {profile_dir}")
                 batch = shard_batch(self.mesh, batch)
                 self.state, metrics = self.train_step(self.state, batch)
                 meter.tick()
@@ -102,6 +128,15 @@ class Trainer:
                     m = {k: float(v) for k, v in metrics.items()}
                     m["timesteps_per_sec"] = meter.rate()
                     logger.log(int(self.state.step), m)
+
+            if tc.profile and epoch == 0 and len(epoch_losses) <= tc.profile_stop:
+                # Epoch ended before profile_stop batches: close the trace.
+                try:
+                    jax.profiler.stop_trace()
+                except RuntimeError:
+                    pass
+                if len(epoch_losses) > tc.profile_start:
+                    print(f"profiler trace written to {profile_dir}")
 
             epoch_loss = float(np.mean([float(l) for l in epoch_losses]))
             history["loss"].append(epoch_loss)
