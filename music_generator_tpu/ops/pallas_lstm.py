@@ -229,7 +229,10 @@ def _fwd_rule(xw, u, h0, c0, compute_dtype):
     xw = xw.astype(compute_dtype)
     hs, cs_prev, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
     residuals = (u, xw, cs_prev, hs, h0)
-    return (hs.astype(jnp.float32), (hT, cT)), residuals
+    # hs stays in the compute dtype: downstream inter-layer ops (dropout,
+    # style add) run at half the HBM traffic, and the next layer's matmul
+    # casts to the compute dtype anyway.
+    return (hs, (hT, cT)), residuals
 
 
 def _bwd_rule(compute_dtype, residuals, grads):
@@ -311,7 +314,7 @@ def _make_recurrence(dtype_name: str):
     @jax.custom_vjp
     def recurrence(xw, u, h0, c0):
         hs, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
-        return hs.astype(jnp.float32), (hT, cT)
+        return hs, (hT, cT)
 
     def fwd_rule(xw, u, h0, c0):
         return _fwd_rule(xw, u, h0, c0, compute_dtype)
@@ -326,8 +329,8 @@ def _make_recurrence(dtype_name: str):
 def pallas_lstm_recurrence(xw, u, h0, c0, compute_dtype=jnp.float32):
     """Fused recurrence: xw [T, B, 4H] (= x@W + b), u [H, 4H], h0/c0 [B, H].
 
-    Returns (hs [T, B, H] float32, (h_T, c_T)).  Differentiable w.r.t.
-    xw, u, h0, c0.
+    Returns (hs [T, B, H] in compute_dtype, (h_T, c_T) float32).
+    Differentiable w.r.t. xw, u, h0, c0.
     """
     dt = jnp.dtype(compute_dtype)
     # Cast up front so the primal/cotangent dtypes agree with the closure.
