@@ -23,6 +23,7 @@ from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
 from music_generator_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
+    make_eval_step,
     make_train_step,
 )
 from music_generator_tpu.training.checkpoint import CheckpointStore
@@ -68,6 +69,7 @@ class Trainer:
         self.train_step = make_train_step(model, self.optimizer, self.mesh)
         self.store = CheckpointStore(self.cfg.model_file) \
             if self.tc.checkpoint else None
+        self._eval_step = None
 
     def maybe_restore(self) -> bool:
         """Best-effort resume (ref: util.py:17-22's implicit-resume CLI
@@ -161,3 +163,21 @@ class Trainer:
 
         logger.close()
         return history
+
+    def evaluate(self, ds: Dataset, batch_size: Optional[int] = None) -> dict:
+        """Deterministic (no-dropout) metrics over a dataset — a capability
+        extension; the reference monitors train loss only (ref: train.py:23).
+        """
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.model, self.mesh)
+        batch_size = batch_size or min(self.cfg.batch_size, max(1, len(ds)))
+        rng = np.random.default_rng(0)
+        sums: dict = {}
+        count = 0
+        for batch in batches(ds, batch_size, rng=rng, drop_remainder=False):
+            metrics = self._eval_step(self.state.params,
+                                      shard_batch(self.mesh, batch))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(1, count) for k, v in sums.items()}

@@ -186,3 +186,17 @@ def test_build_or_load_restores_trainer_checkpoint(tmp_path):
     for a, b in zip(jax.tree.leaves(params),
                     jax.tree.leaves(trainer.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_evaluate():
+    cfg = small_config(batch_size=4)
+    model = DeepJ(cfg)
+    ds = _synthetic_dataset(cfg, n=8)
+    trainer = Trainer(model, TrainConfig(tensorboard=False, checkpoint=False),
+                      mesh=make_mesh(jax.devices()[:1]))
+    m = trainer.evaluate(ds)
+    assert set(m) >= {"loss", "bce_play", "bce_replay", "mse_volume"}
+    assert np.isfinite(m["loss"])
+    # Deterministic: same params → same eval.
+    m2 = trainer.evaluate(ds)
+    assert m == m2
