@@ -125,6 +125,9 @@ class Config:
     # Hardware RBG PRNG for training dropout masks (generation sampling
     # always stays on the cross-platform threefry PRNG).
     fast_dropout_rng: bool = True
+    # Fuse both LSTM layers of an axis into one Pallas kernel (in-kernel
+    # inter-layer dropout); applies when lstm_kernel resolves to "pallas".
+    fused_axis_kernel: bool = True
 
     # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
     @property

@@ -244,6 +244,42 @@ class DeepJ:
                                  style_emb.transpose(1, 0, 2), rng, train)
         return x_tm.transpose(1, 0, 2, 3)
 
+    def _use_fused(self, layers) -> bool:
+        """The fused two-layer stack applies when running the Pallas kernels
+        with exactly two equal-width layers (the DeepJ shape)."""
+        return (self.cfg.fused_axis_kernel
+                and self._kernel() == "pallas"
+                and len(layers) == 2
+                and layers[0].lstm.recurrent.shape
+                == layers[1].lstm.recurrent.shape)
+
+    def _fused_stack(self, layers, x_flat: jax.Array, proj1_flat: jax.Array,
+                     rng, train: bool, site: str) -> jax.Array:
+        """Run two layers as one fused Pallas kernel.
+
+        x_flat: [S, B_eff, F] — layer-0 input (style-0 term already added),
+        proj1_flat: [S, B_eff, H] — the masked layer-1 style term.
+        Returns hs1 [S, B_eff, H].
+        """
+        from music_generator_tpu.ops.pallas_lstm2 import pallas_lstm2
+        cfg = self.cfg
+        l0, l1 = layers
+        dt = self._dt()
+        S, BE, F = x_flat.shape
+        xw0 = (x_flat.reshape(S * BE, F).astype(dt)
+               @ l0.lstm.kernel.astype(dt)
+               + l0.lstm.bias.astype(dt)).reshape(S, BE, -1)
+        p = cfg.dropout if train else 0.0
+        if train and rng is not None:
+            seed = jax.random.randint(_sub(rng, site), (), 0, 2**31 - 1)
+        else:
+            seed = 0
+        hs1, _ = pallas_lstm2(xw0, proj1_flat, l1.lstm.bias,
+                              l0.lstm.recurrent, l1.lstm.kernel,
+                              l1.lstm.recurrent, dropout_p=p, seed=seed,
+                              compute_dtype=dt)
+        return hs1
+
     def time_axis_tm(self, params: Params, x: jax.Array, style_emb_tm: jax.Array,
                      rng=None, train: bool = False) -> jax.Array:
         """Time-major core: x [T, B, N, F], style_emb_tm [T, B, style_units]
@@ -254,6 +290,26 @@ class DeepJ:
         lesson from profiling the v1 step)."""
         cfg = self.cfg
         T, B, N, _ = x.shape
+
+        if self._use_fused(params.time_axis):
+            l0, l1 = params.time_axis
+            proj0 = jnp.tanh(dense_apply(l0.style_proj, style_emb_tm,
+                                         self._dt()))
+            proj0 = jnp.broadcast_to(proj0[:, :, None, :], x.shape)
+            proj0 = dropout(_sub(rng, "tstyle0"), proj0, cfg.dropout, train)
+            x = x + proj0
+            proj1 = jnp.tanh(dense_apply(l1.style_proj, style_emb_tm,
+                                         self._dt()))
+            H = proj1.shape[-1]
+            proj1 = jnp.broadcast_to(proj1[:, :, None, :], (T, B, N, H))
+            proj1 = dropout(_sub(rng, "tstyle1"), proj1, cfg.dropout, train)
+            hs1 = self._fused_stack(params.time_axis,
+                                    x.reshape(T, B * N, x.shape[-1]),
+                                    proj1.reshape(T, B * N, H),
+                                    rng, train, "tfuse")
+            return dropout(_sub(rng, "tdrop1"), hs1.reshape(T, B, N, -1),
+                           cfg.dropout, train)
+
         for l, layer in enumerate(params.time_axis):
             proj = jnp.tanh(dense_apply(layer.style_proj, style_emb_tm,
                                         self._dt()))          # [T, B, F]
@@ -290,6 +346,24 @@ class DeepJ:
             [jnp.zeros_like(chosen_nm[:1]), chosen_nm[:-1]], axis=0)
         x = jnp.concatenate(
             [time_out_nm, shift_chosen.astype(time_out_nm.dtype)], axis=-1)
+
+        if self._use_fused(params.note_axis):
+            l0, l1 = params.note_axis
+            proj0 = jnp.tanh(dense_apply(l0.style_proj, style_emb, self._dt()))
+            proj0 = jnp.broadcast_to(proj0[None], x.shape)
+            proj0 = dropout(_sub(rng, "nstyle0"), proj0, cfg.dropout, train)
+            x = x + proj0
+            proj1 = jnp.tanh(dense_apply(l1.style_proj, style_emb, self._dt()))
+            H = proj1.shape[-1]
+            proj1 = jnp.broadcast_to(proj1[None], (N, B, T, H))
+            proj1 = dropout(_sub(rng, "nstyle1"), proj1, cfg.dropout, train)
+            hs1 = self._fused_stack(params.note_axis,
+                                    x.reshape(N, B * T, x.shape[-1]),
+                                    proj1.reshape(N, B * T, H),
+                                    rng, train, "nfuse")
+            x = dropout(_sub(rng, "ndrop1"), hs1.reshape(N, B, T, -1),
+                        cfg.dropout, train)
+            return self.heads(params, x)
 
         for l, layer in enumerate(params.note_axis):
             proj = jnp.tanh(dense_apply(layer.style_proj, style_emb,

@@ -187,3 +187,20 @@ def test_jit_forward(params):
     preds = f(params, notes, chosen, beat, style)
     ref = MODEL.forward(params, notes, chosen, beat, style)
     np.testing.assert_allclose(np.asarray(preds), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_axis_path_matches_unfused_interpret():
+    """Model forward with the fused two-layer Pallas stack (interpret mode)
+    equals the unfused XLA path at eval time."""
+    from jax.experimental.pallas import tpu as pltpu
+    from music_generator_tpu.config import test_config as sc
+    cfg_fused = sc(lstm_kernel="pallas", fused_axis_kernel=True)
+    cfg_plain = sc(lstm_kernel="xla")
+    m_fused, m_plain = DeepJ(cfg_fused), DeepJ(cfg_plain)
+    p = init_params(jax.random.key(0), cfg_plain)
+    notes, chosen, beat, style = _batch(jax.random.key(8), B=2, T=4)
+
+    ref = m_plain.forward(p, notes, chosen, beat, style)
+    with pltpu.force_tpu_interpret_mode():
+        fused = m_fused.forward(p, notes, chosen, beat, style)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=2e-5)
