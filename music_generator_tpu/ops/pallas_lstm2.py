@@ -308,7 +308,17 @@ def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
     H4 = 4 * H
     f32 = jnp.float32
     cdt = compute_dtype
-    BT, NB = _tiling(B)
+    # The backward holds ~2x the forward's working set; halve the batch tile
+    # in f32 to stay inside the 16MB VMEM budget.
+    max_tile = 256 if jnp.dtype(cdt).itemsize <= 2 else 128
+    BT = _tiling(B)[0]
+    while BT > max_tile and B % (BT // 2) == 0:
+        BT //= 2
+    if BT > max_tile:
+        BT = _tiling(B)[0]   # no smaller divisor; let the compiler try
+    NB = B // BT if B % BT == 0 else 1
+    if NB == 1:
+        BT = B
     bmap = lambda b, t: (t, b, 0)
 
     dhs1 = dhs1.astype(f32).at[T - 1].add(dh1T.astype(f32)).astype(cdt)
