@@ -265,16 +265,13 @@ class DeepJ:
         cfg = self.cfg
         l0, l1 = layers
         dt = self._dt()
-        S, BE, F = x_flat.shape
-        xw0 = (x_flat.reshape(S * BE, F).astype(dt)
-               @ l0.lstm.kernel.astype(dt)
-               + l0.lstm.bias.astype(dt)).reshape(S, BE, -1)
         p = cfg.dropout if train else 0.0
         if train and rng is not None:
             seed = jax.random.randint(_sub(rng, site), (), 0, 2**31 - 1)
         else:
             seed = 0
-        hs1, _ = pallas_lstm2(xw0, proj1_flat, l1.lstm.bias,
+        hs1, _ = pallas_lstm2(x_flat, proj1_flat,
+                              l0.lstm.kernel, l0.lstm.bias, l1.lstm.bias,
                               l0.lstm.recurrent, l1.lstm.kernel,
                               l1.lstm.recurrent, dropout_p=p, seed=seed,
                               compute_dtype=dt)

@@ -1,29 +1,28 @@
 """Fused TWO-LAYER Pallas LSTM stack for TPU.
 
-Both layers of a DeepJ axis (time or note) run inside one kernel: per grid
-step, layer-0 cell → in-kernel inter-layer dropout (hardware PRNG) → add the
-pre-projected style term → layer-1 cell.  Compared to two single-layer scans
-(ops/pallas_lstm.py) this
+Both layers of a DeepJ axis (time or note) — including BOTH input
+projections — run inside one kernel.  Per grid step: x0 @ W0 → layer-0 cell →
+in-kernel inter-layer dropout (hardware PRNG) → add the style term →
+h0' @ W1 → layer-1 cell.  Compared to two single-layer scans with hoisted
+projections (ops/pallas_lstm.py) this
 
   * halves the sequential grid iterations,
-  * never round-trips the inter-layer activations through HBM
-    (the unfused path writes hs0, reads it back, writes the dropped version,
-    reads it into the layer-1 projection),
-  * replaces the full [T, B, 4H] layer-1 input-projection stream with the
-    [T, B, H] style-term stream (the h0 @ W1 product moves on-chip).
+  * streams the RAW layer-0 features [T, B, F] (F≈94/259) instead of the
+    projected [T, B, 4H] (4H=1024) — ~4-11x less input bandwidth,
+  * never materializes the [T, B, 4H] layer-1 projection at all,
+  * keeps dx0 (not dxw0) as the backward's streamed cotangent, accumulating
+    dW0/db0/dU0/dW1/dU1/db1 on-chip.
 
 Layer-1 input in the model is `dropout(h0) + style_term` where style_term is
 the (already masked, already broadcast) tanh style projection
-(ref: model.py:77-84,108-123 — the per-layer style integration).  This
-kernel receives style_term as a stream `s1m` and applies the h0 dropout
-itself with `pltpu.prng_random_bits`, seeded deterministically per
-(batch-tile, timestep) so the backward kernel regenerates the exact masks.
+(ref: model.py:77-84,108-123).  The h0 dropout happens in-kernel with
+`pltpu.prng_random_bits`, seeded deterministically per (tile, step) so the
+backward regenerates the exact masks — which REQUIRES the forward and
+backward to tile the batch identically (see _stack_tiling).
 
-The backward kernel walks each tile's steps in reverse, recomputing both
-layers' gates, accumulating dU0/dW1/dU1/db1 in VMEM scratch, and streaming
-dxw0/ds1m out.  Gradient correctness is pinned by interpret-mode equivalence
-at p=0 and a TPU directional finite-difference test at p>0
-(tests/test_pallas_lstm2.py, tools/tpu_validate_lstm2.py).
+Gradient correctness: interpret-mode equivalence vs two unfused scans at
+p=0 (tests/test_pallas_lstm2.py) and a compiled directional
+finite-difference check at p=0.5 on TPU (tools/tpu_validate_lstm2.py).
 """
 
 from __future__ import annotations
@@ -36,13 +35,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from music_generator_tpu.ops.pallas_lstm import _gate_slices, _tiling
+from music_generator_tpu.ops.pallas_lstm import _gate_slices, _pick_batch_tile
 
 
-def _cell(xw, h_scr, c_scr, u_ref, cdt, hidden):
-    """One LSTM cell on scratch state; returns (h_new f32, c_new f32)."""
-    z = (xw + jnp.dot(h_scr[:].astype(cdt), u_ref[:],
-                      preferred_element_type=jnp.float32).astype(cdt))
+def _stack_tiling(B: int, compute_dtype) -> Tuple[int, int]:
+    """Batch tiling shared by the forward AND backward kernels — the
+    in-kernel dropout masks are seeded per (tile, step), so both kernels
+    must tile identically.  Sized for the backward's working set: 256 rows
+    in bf16, 128 in f32."""
+    max_tile = 256 if jnp.dtype(compute_dtype).itemsize <= 2 else 128
+    BT = _pick_batch_tile(B, max_tile)
+    if B % BT != 0:
+        return B, 1
+    return BT, B // BT
+
+
+def _cell(z_in, h_scr, c_scr, u_ref, cdt, hidden):
+    """One LSTM cell on scratch state; z_in = x-projection (pre-recurrence)."""
+    z = (z_in + jnp.dot(h_scr[:].astype(cdt), u_ref[:],
+                        preferred_element_type=jnp.float32).astype(cdt))
     i, f, g, o = _gate_slices(z, hidden)
     c_new = f.astype(jnp.float32) * c_scr[:] + (i * g).astype(jnp.float32)
     h_new = (o.astype(jnp.float32)
@@ -50,14 +61,14 @@ def _cell(xw, h_scr, c_scr, u_ref, cdt, hidden):
     return h_new, c_new
 
 
-def _recompute_cell(xw, h_prev, c_prev, u_ref, cdt, hidden):
+def _recompute_cell(z_in, h_prev, c_prev, u_ref, cdt, hidden):
     """Recompute gates + states from tapes (backward)."""
-    z = (xw + jnp.dot(h_prev, u_ref[:],
-                      preferred_element_type=jnp.float32).astype(cdt))
+    z = (z_in + jnp.dot(h_prev, u_ref[:],
+                        preferred_element_type=jnp.float32).astype(cdt))
     i, f, g, o = _gate_slices(z, hidden)
     c_new = (f.astype(jnp.float32) * c_prev + (i * g).astype(jnp.float32))
     tanh_c = jnp.tanh(c_new.astype(cdt)).astype(jnp.float32)
-    return i, f, g, o, c_new, tanh_c
+    return i, f, g, o, tanh_c
 
 
 def _cell_bwd(i, f, g, o, c_prev, tanh_c, dh, dc_carry, u_ref, cdt):
@@ -81,8 +92,8 @@ def _cell_bwd(i, f, g, o, c_prev, tanh_c, dh, dc_carry, u_ref, cdt):
 
 def _mask(seed, b, t, shape, keep_prob, dtype):
     """Deterministic per-(tile, step) dropout keep-mask scaled by 1/keep.
-    keep_prob is a static python float; 1.0 disables (returns None).
-    Mosaic supports at most two seed words: fold (b, t) into one."""
+    keep_prob is static; 1.0 disables (returns None).  Mosaic supports at
+    most two seed words: (b, t) folds into one."""
     if keep_prob >= 1.0:
         return None
     pltpu.prng_seed(seed, b * 0x10003 + t)
@@ -93,7 +104,8 @@ def _mask(seed, b, t, shape, keep_prob, dtype):
 
 
 def _make_fwd_kernel(keep_prob: float):
-    def kern(seed_ref, xw0_ref, s1m_ref, b1_ref, u0_ref, w1_ref, u1_ref,
+    def kern(seed_ref, x0_ref, s1m_ref, w0_ref, b0_ref, b1_ref,
+             u0_ref, w1_ref, u1_ref,
              h00_ref, c00_ref, h10_ref, c10_ref,
              hs0_ref, cs0_ref, hs1_ref, cs1_ref,
              h0T_ref, c0T_ref, h1T_ref, c1T_ref,
@@ -101,7 +113,7 @@ def _make_fwd_kernel(keep_prob: float):
         b = pl.program_id(0)
         t = pl.program_id(1)
         T = pl.num_programs(1)
-        cdt = xw0_ref.dtype
+        cdt = x0_ref.dtype
         hidden = u0_ref.shape[0]
 
         @pl.when(t == 0)
@@ -111,21 +123,25 @@ def _make_fwd_kernel(keep_prob: float):
             h1_s[:] = h10_ref[:]
             c1_s[:] = c10_ref[:]
 
-        # Layer 0
-        h0_new, c0_new = _cell(xw0_ref[0], h0_s, c0_s, u0_ref, cdt, hidden)
+        # Layer 0 (input projection on-chip).
+        xw0 = (jnp.dot(x0_ref[0], w0_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt)
+               + b0_ref[:].astype(cdt))
+        h0_new, c0_new = _cell(xw0, h0_s, c0_s, u0_ref, cdt, hidden)
         cs0_ref[0] = c0_s[:].astype(cdt)
         hs0_ref[0] = h0_new.astype(cdt)
 
-        # Inter-layer dropout + style term, then layer-1 input projection.
+        # Inter-layer dropout + style term, then layer-1 projection.
         x1 = h0_new.astype(cdt)
         m = _mask(seed_ref[0, 0], b, t, x1.shape, keep_prob, cdt)
         if m is not None:
             x1 = x1 * m
         x1 = x1 + s1m_ref[0]
-        xw1 = (jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32)
-               .astype(cdt) + b1_ref[:].astype(cdt))
+        xw1 = (jnp.dot(x1, w1_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt)
+               + b1_ref[:].astype(cdt))
 
-        # Layer 1
+        # Layer 1.
         h1_new, c1_new = _cell(xw1, h1_s, c1_s, u1_ref, cdt, hidden)
         cs1_ref[0] = c1_s[:].astype(cdt)
         hs1_ref[0] = h1_new.astype(cdt)
@@ -147,17 +163,20 @@ def _make_fwd_kernel(keep_prob: float):
 
 def _make_bwd_kernel(keep_prob: float):
     def kern(seed_ref, tidx_ref,
-             xw0_ref, s1m_ref, b1_ref, u0_ref, w1_ref, u1_ref,
+             x0_ref, s1m_ref, w0_ref, b0_ref, b1_ref,
+             u0_ref, w1_ref, u1_ref,
              hs0p_ref, cs0p_ref, hs1p_ref, cs1p_ref, hs0_ref,
              dhs1_ref, dc0T_ref, dc1T_ref,
-             dxw0_ref, ds1m_ref, du0_ref, dw1_ref, du1_ref, db1_ref,
+             dx0_ref, ds1m_ref,
+             dw0_ref, db0_ref, du0_ref, dw1_ref, du1_ref, db1_ref,
              dh00_ref, dc00_ref, dh10_ref, dc10_ref,
-             dh0_s, dc0_s, dh1_s, dc1_s, du0_s, dw1_s, du1_s, db1_s):
+             dh0_s, dc0_s, dh1_s, dc1_s,
+             dw0_s, db0_s, du0_s, dw1_s, du1_s, db1_s):
         b = pl.program_id(0)
         NB = pl.num_programs(0)
         r = pl.program_id(1)
         T = pl.num_programs(1)
-        cdt = xw0_ref.dtype
+        cdt = x0_ref.dtype
         hidden = u0_ref.shape[0]
 
         @pl.when(r == 0)
@@ -169,29 +188,35 @@ def _make_bwd_kernel(keep_prob: float):
 
         @pl.when((r == 0) & (b == 0))
         def _():
+            dw0_s[:] = jnp.zeros_like(dw0_s)
+            db0_s[:] = jnp.zeros_like(db0_s)
             du0_s[:] = jnp.zeros_like(du0_s)
             dw1_s[:] = jnp.zeros_like(dw1_s)
             du1_s[:] = jnp.zeros_like(du1_s)
             db1_s[:] = jnp.zeros_like(db1_s)
 
-        # Recompute both layers' forward quantities at t = T-1-r.
+        # Recompute both layers' forward quantities at t = T-1-r
+        # (tapes are pre-reversed along time).
+        x0 = x0_ref[0]
         h0_prev = hs0p_ref[0]
         c0_prev = cs0p_ref[0].astype(jnp.float32)
         h1_prev = hs1p_ref[0]
         c1_prev = cs1p_ref[0].astype(jnp.float32)
-        h0 = hs0_ref[0]                      # layer-0 output at t (cdt)
+        h0 = hs0_ref[0]
 
-        i0, f0, g0, o0, c0_new, tanh_c0 = _recompute_cell(
-            xw0_ref[0], h0_prev, c0_prev, u0_ref, cdt, hidden)
+        xw0 = (jnp.dot(x0, w0_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt)
+               + b0_ref[:].astype(cdt))
+        i0, f0, g0, o0, tanh_c0 = _recompute_cell(
+            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden)
 
-        # The true timestep for the mask seed (tapes are time-reversed).
         t_fwd = tidx_ref[0, 0] - r
         m = _mask(seed_ref[0, 0], b, t_fwd, h0.shape, keep_prob, cdt)
         x1 = h0 * m + s1m_ref[0] if m is not None else h0 + s1m_ref[0]
-        xw1 = (jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32)
-               .astype(cdt) + b1_ref[:].astype(cdt))
-
-        i1, f1, g1, o1, c1_new, tanh_c1 = _recompute_cell(
+        xw1 = (jnp.dot(x1, w1_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt)
+               + b1_ref[:].astype(cdt))
+        i1, f1, g1, o1, tanh_c1 = _recompute_cell(
             xw1, h1_prev, c1_prev, u1_ref, cdt, hidden)
 
         # Layer-1 backward.
@@ -205,12 +230,15 @@ def _make_bwd_kernel(keep_prob: float):
         ds1m_ref[0] = dx1.astype(cdt)
         dh0_from_l1 = dx1 * m.astype(jnp.float32) if m is not None else dx1
 
-        # Layer-0 backward (no external cotangent on hs0 in fused mode).
+        # Layer-0 backward (hs0 has no external consumers in fused mode).
         dh0 = dh0_s[:] + dh0_from_l1
         dz0, dc0_prev, dh0_prev = _cell_bwd(
             i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt)
-        dxw0_ref[0] = dz0
+        dw0_s[:] += jnp.dot(x0.T, dz0, preferred_element_type=jnp.float32)
+        db0_s[:] += jnp.sum(dz0.astype(jnp.float32), axis=0, keepdims=True)
         du0_s[:] += jnp.dot(h0_prev.T, dz0, preferred_element_type=jnp.float32)
+        dx0_ref[0] = jnp.dot(dz0, w0_ref[:].T,
+                             preferred_element_type=jnp.float32).astype(cdt)
 
         dh0_s[:] = dh0_prev
         dc0_s[:] = dc0_prev
@@ -226,6 +254,8 @@ def _make_bwd_kernel(keep_prob: float):
 
         @pl.when((r == T - 1) & (b == NB - 1))
         def _():
+            dw0_ref[:] = dw0_s[:]
+            db0_ref[:] = db0_s[:]
             du0_ref[:] = du0_s[:]
             dw1_ref[:] = dw1_s[:]
             du1_ref[:] = du1_s[:]
@@ -248,40 +278,43 @@ def _state(BT, H):
     return pl.BlockSpec((BT, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM)
 
 
-def _forward_impl(xw0, s1m, b1, u0, w1, u1, h00, c00, h10, c10,
+def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
                   seed, keep_prob, compute_dtype):
-    T, B, H4 = xw0.shape
+    T, B, F = x0.shape
+    H4 = u0.shape[1]
     H = H4 // 4
     f32 = jnp.float32
     cdt = compute_dtype
-    BT, NB = _tiling(B)
+    BT, NB = _stack_tiling(B, cdt)
     bmap = lambda b, t: (t, b, 0)
 
     outs = pl.pallas_call(
         _make_fwd_kernel(keep_prob),
         grid=(NB, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed [1]
-            _block(BT, H4, bmap),                      # xw0 (includes b0)
-            _block(BT, H, bmap),                       # s1m (includes b1 via wrapper? no: b1 separate)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,1)
+            _block(BT, F, bmap),                       # x0
+            _block(BT, H, bmap),                       # s1m
+            _fixed((F, H4)),                           # w0
+            _fixed((1, H4)),                           # b0
             _fixed((1, H4)),                           # b1
             _fixed((H, H4)),                           # u0
             _fixed((H, H4)),                           # w1
             _fixed((H, H4)),                           # u1
-            _state(BT, H), _state(BT, H),              # h00, c00
-            _state(BT, H), _state(BT, H),              # h10, c10
+            _state(BT, H), _state(BT, H),
+            _state(BT, H), _state(BT, H),
         ],
         out_specs=[
-            _block(BT, H, bmap), _block(BT, H, bmap),  # hs0, cs0(prev)
-            _block(BT, H, bmap), _block(BT, H, bmap),  # hs1, cs1(prev)
+            _block(BT, H, bmap), _block(BT, H, bmap),
+            _block(BT, H, bmap), _block(BT, H, bmap),
             _state(BT, H), _state(BT, H),
             _state(BT, H), _state(BT, H),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), cdt),
-            jax.ShapeDtypeStruct((T, B, H), cdt),
-            jax.ShapeDtypeStruct((T, B, H), cdt),
-            jax.ShapeDtypeStruct((T, B, H), cdt),
+            jax.ShapeDtypeStruct((T, B, H), cdt),      # hs0
+            jax.ShapeDtypeStruct((T, B, H), cdt),      # cs0 (c_{t-1})
+            jax.ShapeDtypeStruct((T, B, H), cdt),      # hs1
+            jax.ShapeDtypeStruct((T, B, H), cdt),      # cs1 (c_{t-1})
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
@@ -289,47 +322,36 @@ def _forward_impl(xw0, s1m, b1, u0, w1, u1, h00, c00, h10, c10,
         ],
         scratch_shapes=[pltpu.VMEM((BT, H), f32) for _ in range(4)],
         cost_estimate=pl.CostEstimate(
-            flops=6 * T * B * H * H4 + 20 * T * B * H4,
-            bytes_accessed=(xw0.size * xw0.dtype.itemsize
+            flops=2 * T * B * (F + 3 * H) * H4 + 20 * T * B * H4,
+            bytes_accessed=(x0.size * x0.dtype.itemsize
                             + 5 * T * B * H * jnp.dtype(cdt).itemsize),
             transcendentals=10 * T * B * H4,
         ),
-    )(seed, xw0.astype(cdt), s1m.astype(cdt), b1.reshape(1, H4),
+    )(seed, x0.astype(cdt), s1m.astype(cdt),
+      w0.astype(cdt), b0.reshape(1, H4).astype(f32),
+      b1.reshape(1, H4).astype(f32),
       u0.astype(cdt), w1.astype(cdt), u1.astype(cdt),
       h00.astype(f32), c00.astype(f32), h10.astype(f32), c10.astype(f32))
     return outs
 
 
 def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
-    (xw0, s1m, b1, u0, w1, u1, h00, h10, seed,
+    (x0, s1m, w0, b0, b1, u0, w1, u1, h00, h10, seed,
      hs0, cs0, hs1, cs1) = residuals
     dhs1, (dh0T, dc0T, dh1T, dc1T) = grads
-    T, B, H = hs1.shape
-    H4 = 4 * H
+    T, B, F = x0.shape
+    H4 = u0.shape[1]
+    H = H4 // 4
     f32 = jnp.float32
     cdt = compute_dtype
-    # The backward holds ~2x the forward's working set; halve the batch tile
-    # in f32 to stay inside the 16MB VMEM budget.
-    max_tile = 256 if jnp.dtype(cdt).itemsize <= 2 else 128
-    BT = _tiling(B)[0]
-    while BT > max_tile and B % (BT // 2) == 0:
-        BT //= 2
-    if BT > max_tile:
-        BT = _tiling(B)[0]   # no smaller divisor; let the compiler try
-    NB = B // BT if B % BT == 0 else 1
-    if NB == 1:
-        BT = B
+    BT, NB = _stack_tiling(B, cdt)
     bmap = lambda b, t: (t, b, 0)
 
-    dhs1 = dhs1.astype(f32).at[T - 1].add(dh1T.astype(f32)).astype(cdt)
-    # dh0T: no hs0 output leaves the kernel's consumers, but the terminal h0
-    # state does — fold it like dh1T via an extra stream?  The terminal h0
-    # cotangent is rare (only streaming-generation handoff differentiates
-    # it); fold into a dense dhs0 stream would cost a full tensor.  Instead
-    # we require dh0T == 0 (asserted symbolically by adding it to dc0T's
-    # pathway being zero): generation never differentiates, training never
-    # consumes h0T.  We still honor dc0T/dc1T exactly.
+    # Terminal cotangents: dh1T joins the last streamed cotangent; dc0T/dc1T
+    # seed the carries.  dh0T has no path (hs0 never leaves the stack's
+    # consumers; training/generation never differentiate h0T).
     del dh0T
+    dhs1 = dhs1.astype(f32).at[T - 1].add(dh1T.astype(f32)).astype(cdt)
 
     hs0_prev = jnp.concatenate([h00[None].astype(cdt), hs0[:-1]], axis=0)
     hs1_prev = jnp.concatenate([h10[None].astype(cdt), hs1[:-1]], axis=0)
@@ -342,10 +364,11 @@ def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # tidx (T-1)
-            _block(BT, H4, bmap),                      # xw0 (rev)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # tidx
+            _block(BT, F, bmap),                       # x0 (rev)
             _block(BT, H, bmap),                       # s1m (rev)
-            _fixed((1, H4)),                           # b1
+            _fixed((F, H4)),                           # w0
+            _fixed((1, H4)), _fixed((1, H4)),          # b0, b1
             _fixed((H, H4)), _fixed((H, H4)), _fixed((H, H4)),
             _block(BT, H, bmap), _block(BT, H, bmap),  # hs0_prev, cs0_prev
             _block(BT, H, bmap), _block(BT, H, bmap),  # hs1_prev, cs1_prev
@@ -354,16 +377,19 @@ def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
             _state(BT, H), _state(BT, H),              # dc0T, dc1T
         ],
         out_specs=[
-            _block(BT, H4, bmap),                      # dxw0
+            _block(BT, F, bmap),                       # dx0
             _block(BT, H, bmap),                       # ds1m
+            _fixed((F, H4)), _fixed((1, H4)),          # dw0, db0
             _fixed((H, H4)), _fixed((H, H4)), _fixed((H, H4)),
             _fixed((1, H4)),                           # db1
             _state(BT, H), _state(BT, H),
             _state(BT, H), _state(BT, H),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), cdt),
+            jax.ShapeDtypeStruct((T, B, F), cdt),
             jax.ShapeDtypeStruct((T, B, H), cdt),
+            jax.ShapeDtypeStruct((F, H4), f32),
+            jax.ShapeDtypeStruct((1, H4), f32),
             jax.ShapeDtypeStruct((H, H4), f32),
             jax.ShapeDtypeStruct((H, H4), f32),
             jax.ShapeDtypeStruct((H, H4), f32),
@@ -374,24 +400,31 @@ def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
             jax.ShapeDtypeStruct((B, H), f32),
         ],
         scratch_shapes=([pltpu.VMEM((BT, H), f32) for _ in range(4)]
-                        + [pltpu.VMEM((H, H4), f32) for _ in range(3)]
-                        + [pltpu.VMEM((1, H4), f32)]),
+                        + [pltpu.VMEM((F, H4), f32),
+                           pltpu.VMEM((1, H4), f32),
+                           pltpu.VMEM((H, H4), f32),
+                           pltpu.VMEM((H, H4), f32),
+                           pltpu.VMEM((H, H4), f32),
+                           pltpu.VMEM((1, H4), f32)]),
         cost_estimate=pl.CostEstimate(
-            flops=14 * T * B * H * H4 + 40 * T * B * H4,
-            bytes_accessed=2 * xw0.size * xw0.dtype.itemsize,
+            flops=6 * T * B * (F + 3 * H) * H4 + 40 * T * B * H4,
+            bytes_accessed=2 * x0.size * x0.dtype.itemsize,
             transcendentals=10 * T * B * H4,
         ),
-    )(seed, tidx, rev(xw0), rev(s1m), b1.reshape(1, H4),
+    )(seed, tidx, rev(x0), rev(s1m),
+      w0.astype(cdt), b0.reshape(1, H4).astype(f32),
+      b1.reshape(1, H4).astype(f32),
       u0.astype(cdt), w1.astype(cdt), u1.astype(cdt),
       rev(hs0_prev), rev(cs0), rev(hs1_prev), rev(cs1), rev(hs0),
       rev(dhs1), dc0T.astype(f32), dc1T.astype(f32))
 
-    (dxw0_rev, ds1m_rev, du0, dw1, du1, db1,
+    (dx0_rev, ds1m_rev, dw0, db0, du0, dw1, du1, db1,
      dh00, dc00, dh10, dc10) = outs
-    dxw0 = jnp.flip(dxw0_rev, axis=0)
+    dx0 = jnp.flip(dx0_rev, axis=0)
     ds1m = jnp.flip(ds1m_rev, axis=0)
-    return (dxw0, ds1m, du0.astype(u0.dtype), dw1.astype(w1.dtype),
-            du1.astype(u1.dtype), db1.reshape(H4), dh00, dc00, dh10, dc10)
+    return (dx0, ds1m, dw0.astype(w0.dtype), db0.reshape(H4),
+            db1.reshape(H4), du0.astype(u0.dtype), dw1.astype(w1.dtype),
+            du1.astype(u1.dtype), dh00, dc00, dh10, dc10)
 
 
 @functools.lru_cache(maxsize=None)
@@ -399,64 +432,67 @@ def _make_stack(dtype_name: str, keep_prob: float):
     compute_dtype = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
-    def stack(xw0, s1m, b1, u0, w1, u1, h00, c00, h10, c10, seed):
-        outs = _forward_impl(xw0, s1m, b1, u0, w1, u1, h00, c00, h10, c10,
-                             seed, keep_prob, compute_dtype)
+    def stack(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10, seed):
+        outs = _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1,
+                             h00, c00, h10, c10, seed, keep_prob,
+                             compute_dtype)
         hs0, cs0, hs1, cs1, h0T, c0T, h1T, c1T = outs
         return hs1, (h0T, c0T, h1T, c1T)
 
-    def fwd_rule(xw0, s1m, b1, u0, w1, u1, h00, c00, h10, c10, seed):
-        outs = _forward_impl(xw0, s1m, b1, u0, w1, u1, h00, c00, h10, c10,
-                             seed, keep_prob, compute_dtype)
+    def fwd_rule(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10, seed):
+        outs = _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1,
+                             h00, c00, h10, c10, seed, keep_prob,
+                             compute_dtype)
         hs0, cs0, hs1, cs1, h0T, c0T, h1T, c1T = outs
-        residuals = (xw0, s1m, b1, u0, w1, u1, h00, h10, seed,
+        residuals = (x0, s1m, w0, b0, b1, u0, w1, u1, h00, h10, seed,
                      hs0, cs0, hs1, cs1)
         return (hs1, (h0T, c0T, h1T, c1T)), residuals
 
     def bwd_rule(residuals, grads):
         import numpy as _np
-        (dxw0, ds1m, du0, dw1, du1, db1,
+        (dx0, ds1m, dw0, db0, db1, du0, dw1, du1,
          dh00, dc00, dh10, dc10) = _bwd_impl(residuals, grads, keep_prob,
                                              compute_dtype)
         dseed = _np.zeros((1, 1), jax.dtypes.float0)
-        return (dxw0, ds1m, db1, du0, dw1, du1, dh00, dc00, dh10, dc10,
-                dseed)
+        return (dx0, ds1m, dw0, db0, db1, du0, dw1, du1,
+                dh00, dc00, dh10, dc10, dseed)
 
     stack.defvjp(fwd_rule, bwd_rule)
     return stack
 
 
-def pallas_lstm2(xw0, s1m, b1, u0, w1, u1,
+def pallas_lstm2(x0, s1m, w0, b0, b1, u0, w1, u1,
                  h00=None, c00=None, h10=None, c10=None,
                  dropout_p: float = 0.0, seed: int = 0,
                  compute_dtype=jnp.float32):
-    """Fused two-layer LSTM stack.
+    """Fused two-layer LSTM stack with on-chip input projections.
 
-    xw0: [T, B, 4H] — layer-0 hoisted input projection (x @ W0 + b0).
-    s1m: [T, B, H] — layer-1 additive input (style term, already masked and
-         broadcast); b1's effect on the layer-1 projection is folded in here
-         by adding `b1 @ pinv`…? No — b1 [4H] is the layer-1 LSTM bias and is
-         passed separately; the kernel adds it after the W1 matmul.
+    x0:  [T, B, F] — raw layer-0 input (style-0 term already added).
+    s1m: [T, B, H] — layer-1 additive input (masked broadcast style term).
+    w0/b0: layer-0 input projection [F, 4H] / [4H].
+    b1:  layer-1 LSTM bias [4H].
     u0/w1/u1: [H, 4H] recurrent-0 / input-1 / recurrent-1 matrices.
     dropout_p: inter-layer dropout rate on h0 (static; 0 disables).
-    seed: int32 PRNG seed for the in-kernel masks (per tile×step streams).
+    seed: int32 PRNG seed for the in-kernel masks.
 
-    Returns (hs1 [T, B, H] compute_dtype, (h0_T, c0_T, h1_T, c1_T) f32).
+    Returns (hs1 [T, B, H] in compute_dtype, (h0_T, c0_T, h1_T, c1_T) f32).
     """
     dt = jnp.dtype(compute_dtype)
-    T, B, H4 = xw0.shape
+    T, B, F = x0.shape
+    H4 = u0.shape[1]
     H = H4 // 4
+    f32 = jnp.float32
     if h00 is None:
-        h00 = jnp.zeros((B, H), jnp.float32)
+        h00 = jnp.zeros((B, H), f32)
     if c00 is None:
-        c00 = jnp.zeros((B, H), jnp.float32)
+        c00 = jnp.zeros((B, H), f32)
     if h10 is None:
-        h10 = jnp.zeros((B, H), jnp.float32)
+        h10 = jnp.zeros((B, H), f32)
     if c10 is None:
-        c10 = jnp.zeros((B, H), jnp.float32)
+        c10 = jnp.zeros((B, H), f32)
     keep_prob = float(1.0 - dropout_p)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     stack = _make_stack(dt.name, keep_prob)
-    return stack(xw0.astype(dt), s1m.astype(dt),
-                 b1.astype(jnp.float32).reshape(-1),
+    return stack(x0.astype(dt), s1m.astype(dt), w0,
+                 b0.astype(f32).reshape(-1), b1.astype(f32).reshape(-1),
                  u0, w1, u1, h00, c00, h10, c10, seed_arr)

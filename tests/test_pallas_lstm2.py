@@ -33,10 +33,9 @@ def _unfused(p0, p1, xs, s1m):
 
 
 def _fused(p0, p1, xs, s1m):
-    T_, B_, D_ = xs.shape
-    xw0 = (xs.reshape(T_ * B_, D_) @ p0.kernel + p0.bias).reshape(T_, B_, 4 * H)
-    return pallas_lstm2(xw0, s1m, p1.bias, p0.recurrent, p1.kernel,
-                        p1.recurrent, dropout_p=0.0, seed=0)
+    return pallas_lstm2(xs, s1m, p0.kernel, p0.bias, p1.bias,
+                        p0.recurrent, p1.kernel, p1.recurrent,
+                        dropout_p=0.0, seed=0)
 
 
 def test_forward_matches_unfused(setup):
