@@ -65,6 +65,11 @@ def generate_main(argv=None) -> None:
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--out", type=str, default="output",
                         help="Output file name prefix")
+    parser.add_argument("--sweep", type=int, nargs=3, default=None,
+                        metavar=("STYLE_A", "STYLE_B", "N"),
+                        help="Generate N samples interpolating the style "
+                             "mixture from STYLE_A to STYLE_B in parallel "
+                             "(batched on-device generation)")
     args = parser.parse_args(argv)
 
     cfg = default_config()
@@ -72,13 +77,19 @@ def generate_main(argv=None) -> None:
     params, _ = build_or_load(model)
 
     # Default: one generation per genre's uniform composer mixture;
-    # --styles: a single mean-of-one-hots mixture (ref: generate.py:144-148).
+    # --styles: a single mean-of-one-hots mixture (ref: generate.py:144-148);
+    # --sweep: N parallel generations interpolating two styles' weights.
     styles = [compute_genre(i, cfg) for i in range(len(cfg.genres))]
     if args.styles:
         styles = [np.mean([one_hot(i, cfg.num_styles) for i in args.styles],
                           axis=0)]
+    elif args.sweep:
+        a, b, n = args.sweep
+        sa, sb = one_hot(a, cfg.num_styles), one_hot(b, cfg.num_styles)
+        ws = np.linspace(0.0, 1.0, max(2, n))
+        styles = [(1 - w) * sa + w * sb for w in ws]
 
-    print("Generating with styles:", [np.argmax(s) for s in styles])
+    print("Generating with styles:", [int(np.argmax(s)) for s in styles])
     sampler = Sampler(model, params, default_temp=args.temperature)
     result = sampler.generate(styles, num_bars=args.bars, seed=args.seed)
     write_file(args.out, result, cfg)
