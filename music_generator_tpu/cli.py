@@ -11,11 +11,10 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import numpy as np
 
-from music_generator_tpu.config import Config, default_config
+from music_generator_tpu.config import default_config
 from music_generator_tpu.data.dataset import compute_genre, load_all
 from music_generator_tpu.generation.sampler import Sampler, write_file
 from music_generator_tpu.models.deepj import DeepJ

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Mapping, Sequence, Tuple
+from typing import Mapping, Tuple
 
 # ---------------------------------------------------------------------------
 # Style taxonomy (ref: constants.py:4-40): 3 genres, 23 composer styles.

@@ -31,12 +31,10 @@ each broadcast style projection, and after each LSTM (ref: model.py:58,80-85,
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from music_generator_tpu.config import Config
 from music_generator_tpu.ops.lstm import LSTMParams, lstm_init, lstm_scan, lstm_step
 

@@ -12,7 +12,6 @@ per-batch Python→CUDA round trip.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -63,9 +62,9 @@ def make_train_step(model: DeepJ, optimizer: optax.GradientTransformation,
         # generation sampling) — use the hardware RBG generator, ~5x cheaper
         # than threefry for the ~100M mask bits per step.
         if model.cfg.fast_dropout_rng:
-            data = jax.random.key_data(rng)
+            kd = jax.random.key_data(rng)
             rng = jax.random.wrap_key_data(
-                jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg")
+                jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
 
         def loss_fn(params):
             return model.loss(params, batch, rng=rng, train=True)

@@ -17,7 +17,6 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from music_generator_tpu.config import Config
 from music_generator_tpu.models.deepj import DeepJ, Params, init_params
 
 

@@ -11,17 +11,15 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
 
-from music_generator_tpu.config import Config
 from music_generator_tpu.data.dataset import Dataset, batches
 from music_generator_tpu.models.deepj import DeepJ
 from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
 from music_generator_tpu.parallel.train_step import (
-    TrainState,
     create_train_state,
     make_eval_step,
     make_train_step,
