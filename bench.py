@@ -38,6 +38,9 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from music_generator_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     from music_generator_tpu.config import default_config
     from music_generator_tpu.models.deepj import DeepJ
 

@@ -15,6 +15,7 @@ import os
 import numpy as np
 
 from music_generator_tpu.config import default_config
+from music_generator_tpu.utils.compile_cache import enable as _enable_compile_cache
 from music_generator_tpu.data.dataset import compute_genre, load_all
 from music_generator_tpu.generation.sampler import Sampler, write_file
 from music_generator_tpu.models.deepj import DeepJ
@@ -35,6 +36,7 @@ def train_main(argv=None) -> None:
                         help="Write an XLA profiler trace of early steps")
     args = parser.parse_args(argv)
 
+    _enable_compile_cache()
     maybe_init_distributed()
     cfg = default_config()
     model = DeepJ(cfg)
@@ -71,6 +73,7 @@ def generate_main(argv=None) -> None:
                              "(batched on-device generation)")
     args = parser.parse_args(argv)
 
+    _enable_compile_cache()
     cfg = default_config()
     model = DeepJ(cfg)
     params, _ = build_or_load(model)

@@ -127,14 +127,9 @@ class Sampler:
 
     # -- whole piece -------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _generate_jit(self, params: Params, styles: jax.Array,
-                      num_steps: int, seed: jax.Array) -> jax.Array:
+    def _init_state(self, G: int, seed) -> StepState:
         cfg = self.cfg
-        G = styles.shape[0]
-        style_emb = self.model.style_embedding(params, styles)
-
-        init = StepState(
+        return StepState(
             time_state=self.model.init_time_state(G),
             prev_note=jnp.zeros((G, cfg.num_notes, cfg.note_units)),
             temperature=jnp.full((G,), self.default_temp),
@@ -144,17 +139,28 @@ class Sampler:
             rng=jax.random.key(seed),
         )
 
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _chunk_jit(self, params: Params, style_emb: jax.Array,
+                   state: StepState, num_steps: int,
+                   t0: jax.Array) -> Tuple[StepState, jax.Array]:
+        """One compiled chunk of `num_steps` timesteps starting at t0.
+        Chunks chain through StepState, so any total length reuses the same
+        executable — true O(1)-state streaming decode (BASELINE config 5)."""
         def scan_body(state, t):
             return self._step(params, style_emb, state, t)
 
-        _, notes = jax.lax.scan(scan_body, init,
-                                jnp.arange(num_steps, dtype=jnp.int32))
-        return notes.transpose(1, 0, 2, 3)            # [G, T, N, 3]
+        state, notes = jax.lax.scan(
+            scan_body, state, t0 + jnp.arange(num_steps, dtype=jnp.int32))
+        return state, notes.transpose(1, 0, 2, 3)     # [G, C, N, 3]
 
     def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
-                 seed: int = 0) -> GenerationResult:
+                 seed: int = 0, chunk_bars: int = 8) -> GenerationResult:
         """Generate `num_bars` bars for each style mixture, entirely
-        on-device (ref: generate.py:98-121's API, minus the host loop)."""
+        on-device (ref: generate.py:98-121's API, minus the host loop).
+
+        The piece streams in fixed-size compiled chunks: unbounded --bars
+        never recompiles, and the recurrent/temperature/RNG state crosses
+        chunk boundaries exactly (chunking does not change the output)."""
         cfg = self.cfg
         styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
         if self.mesh is not None:
@@ -162,10 +168,21 @@ class Sampler:
             axis = self.mesh.axis_names[0]
             styles_arr = jax.device_put(
                 styles_arr, NamedSharding(self.mesh, P(axis)))
+        style_emb = self.model.style_embedding(self.params, styles_arr)
+
         num_steps = cfg.notes_per_bar * num_bars
-        notes = self._generate_jit(self.params, styles_arr, num_steps,
-                                   jnp.uint32(seed))
-        return GenerationResult(np.asarray(notes), np.asarray(styles_arr))
+        chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
+        state = self._init_state(styles_arr.shape[0], jnp.uint32(seed))
+        pieces = []
+        t = 0
+        while t < num_steps:
+            n = min(chunk, num_steps - t)
+            state, notes = self._chunk_jit(self.params, style_emb, state, n,
+                                           jnp.int32(t))
+            pieces.append(np.asarray(notes))
+            t += n
+        return GenerationResult(np.concatenate(pieces, axis=1),
+                                np.asarray(styles_arr))
 
 
 def write_file(name: str, result: GenerationResult,

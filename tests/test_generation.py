@@ -150,3 +150,12 @@ def test_mesh_sharded_generation_matches_unsharded():
     np.testing.assert_array_equal(plain.notes[..., :2], meshed.notes[..., :2])
     np.testing.assert_allclose(plain.notes[..., 2], meshed.notes[..., 2],
                                atol=1e-3)
+
+
+def test_chunked_streaming_equals_monolithic(sampler):
+    """Chunk size must not change the generated piece — the recurrent,
+    temperature, and RNG state cross chunk boundaries exactly."""
+    styles = [compute_genre(0, CFG), compute_genre(1, CFG)]
+    whole = sampler.generate(styles, num_bars=4, seed=13, chunk_bars=4)
+    chunked = sampler.generate(styles, num_bars=4, seed=13, chunk_bars=1)
+    np.testing.assert_array_equal(whole.notes, chunked.notes)
