@@ -117,8 +117,18 @@ class Dataset:
 def _load_style_files(files: Sequence[str], cfg: Config) -> List[np.ndarray]:
     if not files:
         return []
+
+    def safe_load(f):
+        # Real-world corpora contain malformed files; skip with a warning
+        # instead of aborting the whole run (the reference would crash).
+        try:
+            return load_midi(f, cfg)
+        except Exception as e:
+            print(f"skipping unreadable MIDI {f}: {type(e).__name__}: {e}")
+            return None
+
     with ThreadPoolExecutor() as pool:
-        return list(pool.map(lambda f: load_midi(f, cfg), files))
+        return [r for r in pool.map(safe_load, files) if r is not None]
 
 
 def load_all(styles: Optional[Sequence[Sequence[str]]] = None,

@@ -180,3 +180,18 @@ def test_dataset_shard():
     assert len(s0) == len(s1) == 4
     np.testing.assert_array_equal(s0.notes.ravel(), [0, 2, 4, 6])
     np.testing.assert_array_equal(s1.notes.ravel(), [1, 3, 5, 7])
+
+
+def test_load_all_skips_corrupt_files(tmp_path):
+    cfg = default_config().replace(out_dir=str(tmp_path / "out"))
+    styles = _write_test_corpus(str(tmp_path), num_files=1, bars=10)
+    # Drop a garbage .mid next to the good one.
+    with open(os.path.join(styles[0][0], "corrupt.mid"), "wb") as f:
+        f.write(b"not a midi file at all")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        ds = load_all(styles, time_steps=32, config=cfg)
+    finally:
+        os.chdir(cwd)
+    assert len(ds) > 0   # the good file still loads
