@@ -32,7 +32,7 @@ from music_generator_tpu.data.dataset import unclamp_midi
 from music_generator_tpu.midi.codec import midi_encode
 from music_generator_tpu.midi.io import write_midifile
 from music_generator_tpu.models.deepj import DeepJ, Params
-from music_generator_tpu.ops.sampling import apply_temperature, bernoulli
+from music_generator_tpu.ops.sampling import apply_temperature
 
 
 class StepState(NamedTuple):
@@ -78,25 +78,30 @@ class Sampler:
         single on-device scan, not 48 predict calls.
         """
         G = feats.shape[0]
+        N = feats.shape[1]
         model = self.model
         note_state = model.init_note_state(G)
 
+        # Pre-draw every uniform for this timestep in ONE batched threefry
+        # call — per-note key splitting inside the scan costs two sequential
+        # threefry rounds per pitch and dominated the sampling step.
+        us = jax.random.uniform(rng, (N, G, 2))
+
         def body(carry, inp):
-            note_state, prev_chosen, rng = carry
-            feat_n = inp                              # [G, time_units]
+            note_state, prev_chosen = carry
+            feat_n, u_n = inp                         # [G, time_units], [G, 2]
             pred, note_state = model.note_axis_cell(
                 params, feat_n, prev_chosen, style_emb, note_state)
-            rng, k_play, k_replay = jax.random.split(rng, 3)
             probs = apply_temperature(pred[:, :2], temperature[:, None])
-            play = bernoulli(k_play, probs[:, 0])
-            replay = bernoulli(k_replay, probs[:, 1]) * play
+            play = (u_n[:, 0] <= probs[:, 0]).astype(jnp.float32)
+            replay = (u_n[:, 1] <= probs[:, 1]).astype(jnp.float32) * play
             volume = jnp.clip(pred[:, 2], 0.0, 1.0) * play
             chosen = jnp.stack([play, replay, volume], axis=-1)   # [G, 3]
-            return (note_state, chosen, rng), chosen
+            return (note_state, chosen), chosen
 
-        xs = feats.transpose(1, 0, 2)                 # [N, G, time_units]
-        (_, _, _), notes = jax.lax.scan(
-            body, (note_state, jnp.zeros((G, 3)), rng), xs)
+        xs = (feats.transpose(1, 0, 2), us)           # [N, G, ...]
+        (_, _), notes = jax.lax.scan(
+            body, (note_state, jnp.zeros((G, 3))), xs)
         return notes.transpose(1, 0, 2)               # [G, N, 3]
 
     def _step(self, params: Params, style_emb: jax.Array,
