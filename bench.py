@@ -101,11 +101,12 @@ def main(argv=None):
         bars = 8
         r = sampler.generate(styles, num_bars=bars, seed=0)   # compile
         float(r.notes.sum())
+        reps = 3   # average out relay jitter; results reach host per call
         t0 = time.perf_counter()
-        result = sampler.generate(styles, num_bars=bars, seed=1)
-        float(result.notes.sum())    # force full completion to host
+        for i in range(reps):
+            result = sampler.generate(styles, num_bars=bars, seed=1 + i)
         dt = time.perf_counter() - t0
-        steps = bars * cfg.notes_per_bar
+        steps = reps * bars * cfg.notes_per_bar
         ms_per_step = dt / steps * 1000.0
         # Baseline target: < 5 ms/timestep → vs_baseline = target / actual
         # (>1 is better than target).
