@@ -1,0 +1,158 @@
+"""Generation serving: a minimal HTTP service around the on-device sampler.
+
+No reference counterpart (the reference is a research CLI); this is the
+deployment story for the TPU build.  Design points:
+
+  * The sampler compiles once per (num_generations, chunk) signature at
+    startup warmup; requests reuse the cached executables (the chunked
+    sampler means any --bars length hits the same program).
+  * Single-threaded model execution (one TPU program at a time) behind a
+    lock; the stdlib ThreadingHTTPServer handles concurrent connections.
+  * Stateless API: POST /generate with JSON → standard MIDI file bytes.
+
+API:
+  GET  /healthz                  → {"status": "ok"}
+  POST /generate                 → audio/midi bytes
+       {"styles": [0, 3],        # style indices to mix (mean of one-hots),
+        "genre": 1,              # ...or a genre id (uniform mixture),
+        "mixture": [..23 floats],# ...or an explicit mixture vector
+        "bars": 16, "seed": 42, "temperature": 1.0}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from music_generator_tpu.config import Config, default_config
+from music_generator_tpu.data.dataset import compute_genre, unclamp_midi
+from music_generator_tpu.generation.sampler import Sampler
+from music_generator_tpu.midi.codec import midi_encode
+from music_generator_tpu.midi.io import write_midifile
+from music_generator_tpu.models.deepj import DeepJ
+from music_generator_tpu.utils import one_hot
+
+
+class GenerationService:
+    """Model + sampler with a serialized-execution lock."""
+
+    def __init__(self, config: Optional[Config] = None, params=None,
+                 warmup: bool = True):
+        self.cfg = config or default_config()
+        self.model = DeepJ(self.cfg)
+        if params is None:
+            from music_generator_tpu.training.checkpoint import build_or_load
+            params, _ = build_or_load(self.model)
+        self.params = params
+        self._lock = threading.Lock()
+        self._samplers = {}
+        if warmup:
+            self.generate(mixture=compute_genre(0, self.cfg), bars=1)
+
+    def _sampler(self, temperature: float) -> Sampler:
+        key = float(temperature)
+        if key not in self._samplers:
+            self._samplers[key] = Sampler(self.model, self.params,
+                                          default_temp=key)
+        return self._samplers[key]
+
+    def resolve_mixture(self, payload: dict) -> np.ndarray:
+        cfg = self.cfg
+        if "mixture" in payload:
+            v = np.asarray(payload["mixture"], np.float32)
+            if v.shape != (cfg.num_styles,):
+                raise ValueError(
+                    f"mixture must have {cfg.num_styles} entries")
+            return v
+        if "styles" in payload:
+            idxs = payload["styles"]
+            if not idxs or any(not 0 <= i < cfg.num_styles for i in idxs):
+                raise ValueError(
+                    f"style indices must be in [0, {cfg.num_styles})")
+            return np.mean([one_hot(i, cfg.num_styles) for i in idxs], axis=0)
+        genre = payload.get("genre", 0)
+        if not 0 <= genre < len(cfg.genres):
+            raise ValueError(f"genre must be in [0, {len(cfg.genres)})")
+        return compute_genre(genre, cfg)
+
+    def generate(self, mixture=None, bars: int = 8, seed: int = 0,
+                 temperature: float = 1.0) -> bytes:
+        """Generate one piece and return .mid file bytes."""
+        cfg = self.cfg
+        if mixture is None:
+            mixture = compute_genre(0, cfg)
+        bars = max(1, min(int(bars), 4096))
+        with self._lock:
+            sampler = self._sampler(temperature)
+            result = sampler.generate([np.asarray(mixture, np.float32)],
+                                      num_bars=bars, seed=int(seed))
+        pattern = midi_encode(unclamp_midi(result.notes[0], cfg), config=cfg)
+        buf = io.BytesIO()
+        write_midifile(buf, pattern)
+        return buf.getvalue()
+
+
+def make_handler(service: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                mixture = service.resolve_mixture(payload)
+                midi_bytes = service.generate(
+                    mixture=mixture,
+                    bars=payload.get("bars", 8),
+                    seed=payload.get("seed", 0),
+                    temperature=payload.get("temperature", 1.0))
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/midi")
+            self.send_header("Content-Length", str(len(midi_bytes)))
+            self.end_headers()
+            self.wfile.write(midi_bytes)
+
+    return Handler
+
+
+def serve_main(argv=None) -> None:
+    import argparse
+    parser = argparse.ArgumentParser(description="DeepJ generation server.")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8732)
+    args = parser.parse_args(argv)
+
+    from music_generator_tpu.utils.compile_cache import enable
+    enable()
+    service = GenerationService()
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(service))
+    print(f"serving on http://{args.host}:{args.port}")
+    httpd.serve_forever()

@@ -1,0 +1,84 @@
+"""Serving tests: the generation service end-to-end over a real HTTP socket
+(stdlib server, real request/response), plus request validation."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+
+from music_generator_tpu import midi
+from music_generator_tpu.config import test_config as small_config
+from music_generator_tpu.models.deepj import DeepJ, init_params
+from music_generator_tpu.serving.server import GenerationService, make_handler
+
+CFG = small_config()
+
+
+@pytest.fixture(scope="module")
+def service():
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(0), CFG)
+    return GenerationService(config=CFG, params=params, warmup=False)
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+
+
+def test_generate_returns_valid_midi(server):
+    with _post(server, {"genre": 0, "bars": 1, "seed": 5}) as r:
+        assert r.headers["Content-Type"] == "audio/midi"
+        data = r.read()
+    import io
+    pattern = midi.read_midifile(io.BytesIO(data))
+    assert pattern.resolution == CFG.notes_per_beat
+
+
+def test_generate_deterministic(server):
+    a = _post(server, {"styles": [0, 2], "bars": 1, "seed": 9}).read()
+    b = _post(server, {"styles": [0, 2], "bars": 1, "seed": 9}).read()
+    assert a == b
+    c = _post(server, {"styles": [0, 2], "bars": 1, "seed": 10}).read()
+    assert a != c
+
+
+def test_generate_rejects_bad_requests(server):
+    for payload in [{"styles": [99]}, {"genre": 7},
+                    {"mixture": [1.0, 2.0]}]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, payload)
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert "error" in body
+
+
+def test_mixture_resolution(service):
+    m = service.resolve_mixture({"styles": [0, 1]})
+    np.testing.assert_allclose(m[:2], 0.5)
+    g = service.resolve_mixture({"genre": 0})
+    np.testing.assert_allclose(g[:3], 1 / 3)
+    v = service.resolve_mixture({"mixture": [0.0] * CFG.num_styles})
+    assert v.shape == (CFG.num_styles,)
