@@ -128,6 +128,9 @@ class Config:
     # Fuse both LSTM layers of an axis into one Pallas kernel (in-kernel
     # inter-layer dropout); applies when lstm_kernel resolves to "pallas".
     fused_axis_kernel: bool = True
+    # Fuse the generation pitch loop (note-axis cells + heads + sampling)
+    # into one Pallas kernel; applies when lstm_kernel resolves to "pallas".
+    fused_gen_kernel: bool = True
 
     # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
     @property

@@ -80,12 +80,25 @@ class Sampler:
         G = feats.shape[0]
         N = feats.shape[1]
         model = self.model
-        note_state = model.init_note_state(G)
+        cfg = self.cfg
 
         # Pre-draw every uniform for this timestep in ONE batched threefry
         # call — per-note key splitting inside the scan costs two sequential
         # threefry rounds per pitch and dominated the sampling step.
-        us = jax.random.uniform(rng, (N, G, 2))
+        us = jax.random.uniform(rng, (G, N, 2))
+
+        if (cfg.fused_gen_kernel and model._kernel() == "pallas"
+                and len(params.note_axis) == 2):
+            # The whole pitch loop (2 LSTM layers + heads + temperature +
+            # Bernoulli compares) as ONE Pallas invocation.
+            from music_generator_tpu.ops.pallas_notegen import (
+                pallas_note_sample)
+            return pallas_note_sample(
+                feats, us, temperature, params.note_axis[0],
+                params.note_axis[1], params.note_dense, params.volume_dense,
+                style_emb, compute_dtype=model._dt())
+
+        note_state = model.init_note_state(G)
 
         def body(carry, inp):
             note_state, prev_chosen = carry
@@ -99,7 +112,7 @@ class Sampler:
             chosen = jnp.stack([play, replay, volume], axis=-1)   # [G, 3]
             return (note_state, chosen), chosen
 
-        xs = (feats.transpose(1, 0, 2), us)           # [N, G, ...]
+        xs = (feats.transpose(1, 0, 2), us.transpose(1, 0, 2))
         (_, _), notes = jax.lax.scan(
             body, (note_state, jnp.zeros((G, 3))), xs)
         return notes.transpose(1, 0, 2)               # [G, N, 3]

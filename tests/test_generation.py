@@ -159,3 +159,30 @@ def test_chunked_streaming_equals_monolithic(sampler):
     whole = sampler.generate(styles, num_bars=4, seed=13, chunk_bars=4)
     chunked = sampler.generate(styles, num_bars=4, seed=13, chunk_bars=1)
     np.testing.assert_array_equal(whole.notes, chunked.notes)
+
+
+def test_fused_gen_kernel_matches_scan_interpret():
+    """The fused pitch-loop kernel (interpret mode) reproduces the XLA scan
+    path: identical probabilities ⇒ identical draws off knife edges."""
+    from jax.experimental.pallas import tpu as pltpu
+    cfg_fused = small_config(lstm_kernel="pallas", fused_gen_kernel=True,
+                             fused_axis_kernel=False)
+    model_f = DeepJ(cfg_fused)
+    model_x = DeepJ(CFG)     # xla path
+    params = init_params(jax.random.key(4), CFG)
+    s_x = Sampler(model_x, params)
+    s_f = Sampler(model_f, params)
+
+    styles = jnp.asarray(np.stack([compute_genre(0, CFG),
+                                   compute_genre(2, CFG)]), jnp.float32)
+    emb = model_x.style_embedding(params, styles)
+    feats, _ = model_x.time_axis_step(
+        params, jnp.zeros((2, CFG.num_notes, 3)),
+        jnp.zeros((2, CFG.notes_per_bar)), emb, model_x.init_time_state(2))
+    temp = jnp.ones((2,))
+    rng = jax.random.key(21)
+
+    ref = s_x._note_scan(params, feats, emb, temp, rng)
+    with pltpu.force_tpu_interpret_mode():
+        fused = s_f._note_scan(params, feats, emb, temp, rng)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=1e-4)
