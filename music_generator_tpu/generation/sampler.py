@@ -88,9 +88,12 @@ class Sampler:
         us = jax.random.uniform(rng, (G, N, 2))
 
         if (cfg.fused_gen_kernel and model._kernel() == "pallas"
-                and len(params.note_axis) == 2):
+                and len(params.note_axis) == 2 and G <= 8):
             # The whole pitch loop (2 LSTM layers + heads + temperature +
-            # Bernoulli compares) as ONE Pallas invocation.
+            # Bernoulli compares) as ONE Pallas invocation.  Wins for small
+            # generation batches (0.63 vs 0.77 ms/step single-stream); at
+            # large G the XLA scan pipelines the per-pitch matmuls better
+            # (1.77 vs 2.57 ms at G=64), so it keeps the big-batch path.
             from music_generator_tpu.ops.pallas_notegen import (
                 pallas_note_sample)
             return pallas_note_sample(
