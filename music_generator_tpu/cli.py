@@ -97,6 +97,19 @@ def generate_main(argv=None) -> None:
     write_file(args.out, result, cfg)
 
 
+def analyze_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Corpus statistics (note/length distributions, "
+                    "autocorrelation) — the working rebuild of the "
+                    "reference's distribution.py.")
+    parser.parse_args(argv)
+    from music_generator_tpu.data.analysis import analyze_corpus
+    cfg = default_config()
+    stats = analyze_corpus(cfg.styles, cfg)
+    import json
+    print(json.dumps(stats, indent=2))
+
+
 def visualize_main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         description="Exports style embeddings for projector.tensorflow.org.")
