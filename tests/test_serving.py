@@ -82,3 +82,12 @@ def test_mixture_resolution(service):
     np.testing.assert_allclose(g[:3], 1 / 3)
     v = service.resolve_mixture({"mixture": [0.0] * CFG.num_styles})
     assert v.shape == (CFG.num_styles,)
+
+
+def test_generate_bars_clamped(service):
+    """bars outside [1, 4096] clamp instead of erroring or running away."""
+    small = service.generate(bars=0, seed=1)
+    assert len(small) > 0
+    import io
+    pattern = midi.read_midifile(io.BytesIO(small))
+    assert len(pattern) >= 1
