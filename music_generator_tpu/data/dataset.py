@@ -4,9 +4,11 @@ sequences with beat and style conditioning (ref: dataset.py).
 
 Differences from the reference, all TPU-first:
   * Windowing is vectorized (no per-window Python list building).
-  * File decode fans out over processes (the reference used a thread pool,
-    ref: dataset.py:56; decode here is numpy-heavy so threads also work, but
-    a process pool sidesteps the GIL for the event-scan phase).
+  * File decode fans out over a thread pool (like the reference,
+    ref: dataset.py:56) — but the hot path is the native C++ decoder
+    (native/midi_codec.cc), which releases the GIL, so the threads decode
+    truly in parallel; the pure-Python fallback is numpy-heavy and also
+    overlaps reasonably under threads.
   * Deterministic file order (the reference had an ordering TODO,
     ref: dataset.py:50).
   * `Dataset` yields fixed-shape shuffled batches (jit/pjit-friendly) and can
@@ -202,7 +204,9 @@ def batches(ds: Dataset, batch_size: int, *, rng: np.random.Generator,
     perm = rng.permutation(n)
     if not drop_remainder and n % batch_size:
         pad = batch_size - n % batch_size
-        perm = np.concatenate([perm, perm[:pad]])
+        # np.resize cycles perm, so datasets smaller than a batch (pad > n)
+        # still fill a whole batch.
+        perm = np.concatenate([perm, np.resize(perm, pad)])
     for i in range(0, len(perm) - batch_size + 1, batch_size):
         sel = perm[i:i + batch_size]
         yield (ds.notes[sel], ds.targets[sel], ds.beats[sel], ds.styles[sel])

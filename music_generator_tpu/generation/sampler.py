@@ -38,7 +38,9 @@ from music_generator_tpu.ops.sampling import apply_temperature
 class StepState(NamedTuple):
     time_state: Tuple            # per-layer (h, c) of the time axis
     prev_note: jax.Array         # [G, N, 3] — the notes chosen last step
-    temperature: jax.Array       # [G]
+    temperature: jax.Array       # [G] current (adaptive) temperature
+    base_temp: jax.Array         # [G] reset value — traced, so one compiled
+                                 # executable serves every temperature
     silent_time: jax.Array       # [G] int32
     rng: jax.Array               # PRNG key
 
@@ -111,6 +113,12 @@ class Sampler:
             probs = apply_temperature(pred[:, :2], temperature[:, None])
             play = (u_n[:, 0] <= probs[:, 0]).astype(jnp.float32)
             replay = (u_n[:, 1] <= probs[:, 1]).astype(jnp.float32) * play
+            # Deliberate deviation from the reference: the raw linear volume
+            # head is clipped to [0, 1] before the copy-through.  The
+            # reference copies it unclipped (ref: generate.py:48,55) and can
+            # emit MIDI velocities >127 or negative — invalid bytes the
+            # encoder would have to truncate anyway.  Pinned by
+            # tests/test_generation.py::test_volume_clip_is_deliberate.
             volume = jnp.clip(pred[:, 2], 0.0, 1.0) * play
             chosen = jnp.stack([play, replay, volume], axis=-1)   # [G, 3]
             return (note_state, chosen), chosen
@@ -124,7 +132,14 @@ class Sampler:
               state: StepState, t: jax.Array) -> Tuple[StepState, jax.Array]:
         cfg = self.cfg
         G = style_emb.shape[0]
-        beat = jax.nn.one_hot(t % cfg.notes_per_bar, cfg.notes_per_bar)
+        # Beat alignment: the model input pairs the note sampled at t-1 with
+        # the beat of timestep t-1 — the same (note[j], beat[j]) pairing the
+        # training windows use (dataset.stagger) and the reference generator
+        # feeds (ref: generate.py:73-79 appends the step-t note together with
+        # compute_beat(t), so predicting step t sees note[t-1] + beat[t-1]).
+        # At t=0 the zero-initialized memory slot has an all-zero beat row.
+        beat = jax.nn.one_hot((t - 1) % cfg.notes_per_bar, cfg.notes_per_bar)
+        beat = beat * (t > 0)
         beat = jnp.broadcast_to(beat[None], (G, cfg.notes_per_bar))
 
         feats, time_state = self.model.time_axis_step(
@@ -141,19 +156,20 @@ class Sampler:
         bump = silent & (silent_time >= cfg.notes_per_bar)
         temperature = jnp.where(
             bump, state.temperature + 0.1,
-            jnp.where(silent, state.temperature, self.default_temp))
+            jnp.where(silent, state.temperature, state.base_temp))
 
-        return StepState(time_state, next_note, temperature, silent_time,
-                         rng), next_note
+        return StepState(time_state, next_note, temperature, state.base_temp,
+                         silent_time, rng), next_note
 
     # -- whole piece -------------------------------------------------------
 
-    def _init_state(self, G: int, seed) -> StepState:
+    def _init_state(self, G: int, seed, temperature: float) -> StepState:
         cfg = self.cfg
         return StepState(
             time_state=self.model.init_time_state(G),
             prev_note=jnp.zeros((G, cfg.num_notes, cfg.note_units)),
-            temperature=jnp.full((G,), self.default_temp),
+            temperature=jnp.full((G,), temperature),
+            base_temp=jnp.full((G,), temperature),
             # A fresh generation counts as already silent for a bar
             # (ref: generate.py:24 inits silent_time = NOTES_PER_BAR).
             silent_time=jnp.full((G,), cfg.notes_per_bar, jnp.int32),
@@ -175,13 +191,16 @@ class Sampler:
         return state, notes.transpose(1, 0, 2, 3)     # [G, C, N, 3]
 
     def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
-                 seed: int = 0, chunk_bars: int = 8) -> GenerationResult:
+                 seed: int = 0, chunk_bars: int = 8,
+                 temperature: Optional[float] = None) -> GenerationResult:
         """Generate `num_bars` bars for each style mixture, entirely
         on-device (ref: generate.py:98-121's API, minus the host loop).
 
         The piece streams in fixed-size compiled chunks: unbounded --bars
         never recompiles, and the recurrent/temperature/RNG state crosses
-        chunk boundaries exactly (chunking does not change the output)."""
+        chunk boundaries exactly (chunking does not change the output).
+        `temperature` is a traced runtime value — varying it never triggers
+        a recompile (one Sampler serves any temperature)."""
         cfg = self.cfg
         styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
         if self.mesh is not None:
@@ -193,7 +212,8 @@ class Sampler:
 
         num_steps = cfg.notes_per_bar * num_bars
         chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
-        state = self._init_state(styles_arr.shape[0], jnp.uint32(seed))
+        temp = self.default_temp if temperature is None else float(temperature)
+        state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp)
         pieces = []
         t = 0
         while t < num_steps:

@@ -517,10 +517,19 @@ def _sub(rng: Optional[jax.Array], name: str) -> Optional[jax.Array]:
     return jax.random.fold_in(rng, _site_id(name))
 
 
-_SITE_IDS: Dict[str, int] = {}
+# Static site→ID table: the dropout stream at each site is a stable function
+# of (seed, site name) — NOT of first-call order, so fused and unfused paths
+# (and fresh processes) derive identical per-site keys.  Layer-indexed names
+# are pre-registered up to 8 layers per axis (the config allows deeper
+# stacks than DeepJ's 2+2).
+_SITE_IDS: Dict[str, int] = {
+    name: i + 1
+    for i, name in enumerate(
+        ["in_notes", "in_beat", "in_chosen", "conv", "tfuse", "nfuse"]
+        + [f"{axis}{kind}{layer}" for axis in ("t", "n")
+           for kind in ("style", "drop") for layer in range(8)])
+}
 
 
 def _site_id(name: str) -> int:
-    if name not in _SITE_IDS:
-        _SITE_IDS[name] = len(_SITE_IDS) + 1
     return _SITE_IDS[name]

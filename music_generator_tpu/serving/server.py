@@ -50,16 +50,14 @@ class GenerationService:
             params, _ = build_or_load(self.model)
         self.params = params
         self._lock = threading.Lock()
-        self._samplers = {}
+        # Temperature is a traced runtime input to the sampler's compiled
+        # chunk (StepState.base_temp), so ONE sampler — and one set of
+        # compiled executables — serves every client temperature.  (Round-1
+        # advisor finding: a per-temperature sampler cache recompiled for
+        # every novel float and grew without bound.)
+        self._sampler = Sampler(self.model, self.params)
         if warmup:
             self.generate(mixture=compute_genre(0, self.cfg), bars=1)
-
-    def _sampler(self, temperature: float) -> Sampler:
-        key = float(temperature)
-        if key not in self._samplers:
-            self._samplers[key] = Sampler(self.model, self.params,
-                                          default_temp=key)
-        return self._samplers[key]
 
     def resolve_mixture(self, payload: dict) -> np.ndarray:
         cfg = self.cfg
@@ -87,10 +85,13 @@ class GenerationService:
         if mixture is None:
             mixture = compute_genre(0, cfg)
         bars = max(1, min(int(bars), 4096))
+        temperature = float(temperature)
+        if not 0.0 < temperature <= 100.0:
+            raise ValueError("temperature must be in (0, 100]")
         with self._lock:
-            sampler = self._sampler(temperature)
-            result = sampler.generate([np.asarray(mixture, np.float32)],
-                                      num_bars=bars, seed=int(seed))
+            result = self._sampler.generate(
+                [np.asarray(mixture, np.float32)], num_bars=bars,
+                seed=int(seed), temperature=temperature)
         pattern = midi_encode(unclamp_midi(result.notes[0], cfg), config=cfg)
         buf = io.BytesIO()
         write_midifile(buf, pattern)

@@ -46,14 +46,29 @@ class TrainConfig:
 
 def maybe_init_distributed() -> None:
     """Initialize multi-host JAX when launched under a cluster (no-op
-    otherwise).  jax.distributed reads the coordinator address / process
-    ranks from the environment (JAX_COORDINATOR_ADDRESS etc. or the cloud
-    TPU metadata)."""
+    otherwise).
+
+    Fires on an explicit coordinator address (JAX_COORDINATOR_ADDRESS /
+    COORDINATOR_ADDRESS) AND on standard TPU-pod launches, where
+    `jax.distributed.initialize()` auto-detects the cluster from the TPU
+    metadata — detected here by a multi-worker TPU_WORKER_HOSTNAMES or a
+    MEGASCALE coordinator.  Set DEEPJ_DISTRIBUTED=1 to force, 0 to disable."""
     if jax.process_count() > 1:
         return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
+    force = os.environ.get("DEEPJ_DISTRIBUTED")
+    if force == "0":
+        return
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    pod = (len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+           or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not (explicit or pod or force == "1"):
+        return
+    try:
         jax.distributed.initialize()
+    except Exception as e:  # best-effort: single-process still works
+        print(f"jax.distributed.initialize() failed "
+              f"({type(e).__name__}: {e}); continuing single-process")
 
 
 class Trainer:
@@ -95,6 +110,11 @@ class Trainer:
             raise ValueError("empty dataset — nothing to train on")
         if len(ds) < batch_size:
             batch_size = max(1, len(ds))
+        # P("data") on dim 0 requires divisibility by the mesh size: round
+        # the (possibly clamped) batch UP to a multiple of it — `batches`
+        # wrap-pads short epochs, so a tiny corpus still shards cleanly.
+        n_dev = int(self.mesh.devices.size)
+        batch_size = -(-batch_size // n_dev) * n_dev
 
         logger = MetricLogger(cfg.log_dir, tensorboard=tc.tensorboard)
         # Timesteps per global batch: the BASELINE metric counts piano-roll
@@ -154,7 +174,9 @@ class Trainer:
                     self.store.save(self.state)
             else:
                 bad_epochs += 1
-                if bad_epochs > patience:
+                # Keras-2 EarlyStopping stops when wait >= patience
+                # (ref: train.py:24, patience=5) — not strictly greater.
+                if bad_epochs >= patience:
                     print(f"early stopping (no improvement for "
                           f"{bad_epochs} epochs)")
                     break

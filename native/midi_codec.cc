@@ -211,7 +211,13 @@ int dj_decode_buffer(const uint8_t* data, uint64_t size, int notes_per_beat,
     uint32_t len = r.u32();
     if (!r.ok) break;
     const uint8_t* body = r.p;
+    // A malformed length field can exceed the remaining buffer; parsing a
+    // track body past `r.end` would be an out-of-bounds read.  Bail hard —
+    // the Python caller surfaces this as a parse error and dataset.py's
+    // safe_load skips the file.
+    if ((uint64_t)(r.end - body) < (uint64_t)len) return 3;
     r.skip(len);
+    if (!r.ok) return 3;
     if (magic != 0x4D54726Bu) continue;  // "MTrk"
 
     std::vector<Event> events;

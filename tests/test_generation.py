@@ -97,6 +97,7 @@ def test_adaptive_temperature_rises_when_silent():
         time_state=model.init_time_state(1),
         prev_note=jnp.zeros((1, CFG.num_notes, 3)),
         temperature=jnp.ones((1,)),
+        base_temp=jnp.ones((1,)),
         silent_time=jnp.full((1,), CFG.notes_per_bar, jnp.int32),
         rng=jax.random.key(0))
     temps = []
@@ -117,10 +118,14 @@ def test_generation_streaming_matches_teacher_forced_forward(sampler):
     notes = result.notes                       # [1, T, N, 3]
     T = notes.shape[1]
 
-    # Inputs at step t are the notes sampled at t-1 (zeros at t=0).
+    # Inputs at step t are the notes sampled at t-1 (zeros at t=0), paired
+    # with the beat of timestep t-1 — the training alignment (stagger pairs
+    # beat[j] with input note[j]; the zero-padded leading window rows carry
+    # all-zero beats, hence the zero row at t=0).
     inputs = np.concatenate([np.zeros_like(notes[:, :1]), notes[:, :-1]], 1)
-    beat = jax.nn.one_hot(np.arange(T) % CFG.notes_per_bar,
-                          CFG.notes_per_bar)[None]
+    beat = np.array(jax.nn.one_hot((np.arange(T) - 1) % CFG.notes_per_bar,
+                                   CFG.notes_per_bar))[None]
+    beat[:, 0] = 0.0
     style_rows = np.repeat(np.stack(styles)[:, None], T, axis=1)
 
     preds = model.forward(params, jnp.asarray(inputs), jnp.asarray(notes),
@@ -159,6 +164,44 @@ def test_chunked_streaming_equals_monolithic(sampler):
     whole = sampler.generate(styles, num_bars=4, seed=13, chunk_bars=4)
     chunked = sampler.generate(styles, num_bars=4, seed=13, chunk_bars=1)
     np.testing.assert_array_equal(whole.notes, chunked.notes)
+
+
+def test_volume_clip_is_deliberate():
+    """Deliberate deviation from the reference: the linear volume head is
+    clipped to [0, 1] before copy-through (the ref emits it raw,
+    generate.py:48,55, producing invalid MIDI velocities).  Force the head
+    to output > 1 and assert every played note's volume is exactly 1.0."""
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(5), CFG)
+    params = params._replace(
+        volume_dense=params.volume_dense._replace(
+            kernel=params.volume_dense.kernel * 0.0,
+            bias=params.volume_dense.bias + 3.0),
+        # Make sure plenty of notes fire.
+        note_dense=params.note_dense._replace(
+            bias=params.note_dense.bias + 5.0))
+    result = Sampler(model, params).generate(
+        [compute_genre(0, CFG)], num_bars=1, seed=0)
+    play = result.notes[..., 0] > 0
+    assert play.any()
+    np.testing.assert_array_equal(result.notes[..., 2][play], 1.0)
+
+
+def test_temperature_is_traced_no_recompile():
+    """One sampler serves every temperature with one compiled executable
+    (round-1 advisor finding: per-temperature samplers recompiled)."""
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(6), CFG)
+    sampler = Sampler(model, params)
+    styles = [compute_genre(0, CFG)]
+
+    Sampler._chunk_jit._clear_cache()
+    hot = sampler.generate(styles, num_bars=2, seed=1, temperature=1.0)
+    n_compiles = Sampler._chunk_jit._cache_size()
+    cold = sampler.generate(styles, num_bars=2, seed=1, temperature=5.0)
+    assert Sampler._chunk_jit._cache_size() == n_compiles
+    # Different temperatures change the sampled piece.
+    assert not np.array_equal(hot.notes, cold.notes)
 
 
 def test_fused_gen_kernel_matches_scan_interpret():

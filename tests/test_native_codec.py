@@ -106,6 +106,21 @@ def test_native_file_roundtrip(tmp_path):
     np.testing.assert_array_equal(py, nat)
 
 
+def test_native_truncated_track_chunk_rejected():
+    """An MTrk length field that exceeds the remaining file must fail cleanly
+    (parse error → RuntimeError), never read past the buffer (round-1
+    advisor finding: OOB heap read / segfault on truncated files)."""
+    data = bytearray(_roundtrip_bytes(_random_pattern(3)))
+    i = data.find(b"MTrk")
+    assert i > 0
+    data[i + 4:i + 8] = (0x7FFFFFF0).to_bytes(4, "big")  # absurd length
+    with pytest.raises(RuntimeError):
+        native.native_decode_bytes(bytes(data))
+    # A file truncated mid-track is the same failure, not a crash.
+    with pytest.raises(RuntimeError):
+        native.native_decode_bytes(bytes(data[:i + 12]))
+
+
 def test_load_midi_uses_native_and_caches(tmp_path, monkeypatch):
     from music_generator_tpu.config import default_config
     from music_generator_tpu.midi.codec import load_midi

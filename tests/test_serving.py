@@ -91,3 +91,20 @@ def test_generate_bars_clamped(service):
     import io
     pattern = midi.read_midifile(io.BytesIO(small))
     assert len(pattern) >= 1
+
+
+def test_temperature_sweep_one_executable(service):
+    """Varied-temperature traffic must reuse one compiled executable (the
+    round-1 advisor finding: a per-temperature sampler cache recompiled per
+    novel float and grew without bound) — and bad temperatures 400."""
+    from music_generator_tpu.generation.sampler import Sampler
+
+    Sampler._chunk_jit._clear_cache()
+    outs = [service.generate(bars=1, seed=3, temperature=t)
+            for t in (0.8, 1.0, 1.3, 2.0)]
+    assert Sampler._chunk_jit._cache_size() == 1
+    assert len(set(outs)) > 1          # temperature actually matters
+    with pytest.raises(ValueError):
+        service.generate(bars=1, temperature=0.0)
+    with pytest.raises(ValueError):
+        service.generate(bars=1, temperature=-1.0)
