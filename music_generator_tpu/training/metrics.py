@@ -37,6 +37,13 @@ class MetricLogger:
         if self._tb is not None:
             self._tb.flush()
 
+    def histogram(self, tag: str, values, step: int) -> None:
+        """TensorBoard-only histogram (ref: train.py:25 histogram_freq=1 —
+        Keras wrote per-epoch weight histograms; JSONL stays scalar)."""
+        if self._tb is not None:
+            self._tb.histogram(tag, values, int(step))
+            self._tb.flush()
+
     def close(self) -> None:
         if self._jsonl is not None:
             self._jsonl.close()

@@ -42,6 +42,9 @@ class TrainConfig:
     profile: bool = False
     profile_start: int = 5
     profile_stop: int = 10
+    # Per-epoch parameter histograms to TensorBoard, matching the reference's
+    # TensorBoard(histogram_freq=1) callback (ref: train.py:25).  0 disables.
+    histogram_freq: int = 1
 
 
 def maybe_init_distributed() -> None:
@@ -164,6 +167,9 @@ class Trainer:
             print(f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.4f} "
                   f"({dt:.1f}s, {meter.rate():.0f} timesteps/s)")
             logger.log(epoch + 1, {"epoch_loss": epoch_loss}, prefix="epoch")
+            if (tc.tensorboard and tc.histogram_freq
+                    and (epoch + 1) % tc.histogram_freq == 0):
+                self._log_param_histograms(logger, epoch + 1)
 
             # Best-only checkpoint + early stop, both on TRAIN loss
             # (ref: train.py:23-24 monitors 'loss', not val_loss).
@@ -183,6 +189,15 @@ class Trainer:
 
         logger.close()
         return history
+
+    def _log_param_histograms(self, logger: MetricLogger, epoch: int) -> None:
+        """One histogram per parameter leaf, tagged by its pytree path —
+        the rebuild of Keras TensorBoard's weight histograms
+        (ref: train.py:25, histogram_freq=1)."""
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                self.state.params)[0]:
+            tag = "params" + jax.tree_util.keystr(path)
+            logger.histogram(tag, np.asarray(leaf), epoch)
 
     def evaluate(self, ds: Dataset, batch_size: Optional[int] = None) -> dict:
         """Deterministic (no-dropout) metrics over a dataset — a capability

@@ -109,3 +109,150 @@ def test_event_file_roundtrip(tmp_path):
     assert scalars[1] == (2, "train/loss", 0.5)
     assert scalars[2][1] == "epoch/epoch_loss"
     np.testing.assert_allclose(scalars[2][2], 0.25)
+
+
+def _parse_value_fields(payload):
+    """Walk Event → Summary → first Value, returning {field: bytes/scalar}."""
+    buf = io.BytesIO(payload)
+
+    def varint(b):
+        v, shift = 0, 0
+        while True:
+            byte = b.read(1)[0]
+            v |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return v
+            shift += 7
+
+    summary = None
+    while buf.tell() < len(payload):
+        key = varint(buf)
+        field, wire = key >> 3, key & 7
+        if wire == 1:
+            buf.read(8)
+        elif wire == 0:
+            varint(buf)
+        elif wire == 5:
+            buf.read(4)
+        elif wire == 2:
+            data = buf.read(varint(buf))
+            if field == 5:
+                summary = data
+    if summary is None:
+        return None
+    sbuf = io.BytesIO(summary)
+    key = varint(sbuf)
+    assert key >> 3 == 1 and key & 7 == 2
+    vdata = sbuf.read(varint(sbuf))
+    vbuf = io.BytesIO(vdata)
+    out = {}
+    while vbuf.tell() < len(vdata):
+        key = varint(vbuf)
+        field, wire = key >> 3, key & 7
+        if wire == 2:
+            out[field] = vbuf.read(varint(vbuf))
+        elif wire == 5:
+            out[field] = struct.unpack("<f", vbuf.read(4))[0]
+        elif wire == 1:
+            out[field] = struct.unpack("<d", vbuf.read(8))[0]
+        elif wire == 0:
+            out[field] = varint(vbuf)
+    return out
+
+
+def _parse_histo(histo_bytes):
+    """HistogramProto → dict with min/max/num/sum/sum_squares/limits/buckets."""
+    buf = io.BytesIO(histo_bytes)
+
+    def varint():
+        v, shift = 0, 0
+        while True:
+            b = buf.read(1)[0]
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    names = {1: "min", 2: "max", 3: "num", 4: "sum", 5: "sum_squares"}
+    out = {"limits": [], "buckets": []}
+    while buf.tell() < len(histo_bytes):
+        key = varint()
+        field, wire = key >> 3, key & 7
+        if wire == 1:
+            out[names[field]] = struct.unpack("<d", buf.read(8))[0]
+        elif wire == 2:
+            data = buf.read(varint())
+            vals = [struct.unpack("<d", data[i:i + 8])[0]
+                    for i in range(0, len(data), 8)]
+            out["limits" if field == 6 else "buckets"] = vals
+    return out
+
+
+def test_histogram_event_wire_format(tmp_path):
+    """Histogram records decode to a well-formed HistogramProto: correct
+    moments, counts summing to num, monotonically increasing bucket limits
+    (the reference's histogram_freq=1 observability, ref: train.py:25)."""
+    vals = np.concatenate([np.linspace(-2.0, 3.0, 101), [0.5] * 9])
+    w = SummaryWriter(str(tmp_path))
+    w.histogram("params/test/kernel", vals, step=4)
+    w.histogram("empty", np.array([]), step=4)
+    w.histogram("constant", np.full(7, 1.25), step=4)
+    w.close()
+
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    records = _read_records(files[0])
+    assert len(records) == 4        # version + 3 histograms
+
+    v = _parse_value_fields(records[1])
+    assert v[1] == b"params/test/kernel"
+    h = _parse_histo(v[4])
+    np.testing.assert_allclose(h["min"], vals.min())
+    np.testing.assert_allclose(h["max"], vals.max())
+    np.testing.assert_allclose(h["num"], len(vals))
+    np.testing.assert_allclose(h["sum"], vals.sum())
+    np.testing.assert_allclose(h["sum_squares"], np.square(vals).sum())
+    np.testing.assert_allclose(sum(h["buckets"]), len(vals))
+    assert all(a < b for a, b in zip(h["limits"], h["limits"][1:]))
+
+    h_empty = _parse_histo(_parse_value_fields(records[2])[4])
+    assert h_empty["num"] == 0
+    h_const = _parse_histo(_parse_value_fields(records[3])[4])
+    assert h_const["num"] == 7
+    np.testing.assert_allclose(h_const["min"], 1.25)
+    np.testing.assert_allclose(sum(h_const["buckets"]), 7)
+
+
+def test_trainer_writes_param_histograms(tmp_path):
+    """Trainer.fit with tensorboard on emits one histogram per param leaf
+    per epoch (histogram_freq=1 parity with ref: train.py:25)."""
+    import jax
+    from music_generator_tpu.config import test_config
+    from music_generator_tpu.data.dataset import Dataset
+    from music_generator_tpu.models.deepj import DeepJ
+    from music_generator_tpu.parallel.mesh import make_mesh
+    from music_generator_tpu.training.trainer import TrainConfig, Trainer
+
+    cfg = test_config(batch_size=2, out_dir=str(tmp_path / "out"))
+    model = DeepJ(cfg)
+    T, N = cfg.seq_len, cfg.num_notes
+    ds = Dataset(np.zeros((2, T, N, 3), np.float32),
+                 np.zeros((2, T, N, 3), np.float32),
+                 np.zeros((2, T, cfg.notes_per_bar), np.float32),
+                 np.zeros((2, T, cfg.num_styles), np.float32))
+    trainer = Trainer(model, TrainConfig(epochs=1, checkpoint=False),
+                      mesh=make_mesh(jax.devices()[:1]))
+    trainer.fit(ds)
+
+    files = glob.glob(str(tmp_path / "out" / "logs" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    histo_tags = []
+    for rec in _read_records(files[0])[1:]:
+        v = _parse_value_fields(rec)
+        if v and 4 in v:
+            histo_tags.append(v[1].decode())
+            h = _parse_histo(v[4])
+            assert h["num"] > 0
+    n_leaves = len(jax.tree.leaves(trainer.state.params))
+    assert len(histo_tags) == n_leaves
+    assert all(t.startswith("params") for t in histo_tags)
+    assert len(set(histo_tags)) == n_leaves     # distinct per-leaf tags
