@@ -1,0 +1,153 @@
+"""Deterministic synthetic-but-musical corpus generator.
+
+The reference trained on a private piano corpus and shipped trained samples
+(ref: archives/v1/**, .MISSING_LARGE_BLOBS:8 — the weights are a missing
+large blob, so the corpus/model can't be reproduced from the repo).  This
+module is the rebuild's substitute evidence base: a seeded generator of
+style-distinct, tonal piano pieces used by
+
+  * the convergence proof (docs/TRAINING.md: train until early-stop, show
+    the loss curve, generate samples echoing the corpus),
+  * the overfit regression test (tests/test_convergence.py), and
+  * the /verify CLI drive.
+
+Musicality (so "the model learned" is distinguishable from "the model
+memorized noise"): each style has its own mode and tonic; pieces are built
+from bar-long chord units (root-position triads in a low register) under a
+scale-wise melody with occasional leaps (high register), metric velocity
+accents, and deliberate re-articulations (exercising the replay channel).
+Styles are separable by pitch-class histogram, so a trained model's output
+can be scored for style fidelity (data/analysis.py pitch histograms).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from music_generator_tpu.config import Config, default_config
+
+# Modes as semitone offsets from the tonic.
+_MODES = (
+    (0, 2, 4, 5, 7, 9, 11),    # ionian (major)
+    (0, 2, 3, 5, 7, 8, 10),    # aeolian (natural minor)
+    (0, 2, 3, 5, 7, 9, 10),    # dorian
+    (0, 1, 3, 5, 7, 8, 10),    # phrygian
+    (0, 2, 4, 6, 7, 9, 11),    # lydian
+    (0, 2, 4, 5, 7, 9, 10),    # mixolydian
+)
+
+# Simple tonal progressions in scale degrees (0-based).
+_PROGRESSIONS = (
+    (0, 3, 4, 0),              # I  IV V  I
+    (0, 5, 3, 4),              # I  vi IV V
+    (0, 3, 0, 4),              # I  IV I  V
+    (5, 3, 0, 4),              # vi IV I  V
+)
+
+
+def _style_scale(style_id: int, cfg: Config) -> tuple:
+    """(tonic_midi, mode) for a style — distinct tonics/modes per style so
+    styles are separable in pitch-class space."""
+    tonic = cfg.min_note + 12 + (style_id * 5) % 12     # circle of fourths
+    mode = _MODES[style_id % len(_MODES)]
+    return tonic, mode
+
+
+def synth_piece(style_id: int, bars: int = 16, seed: int = 0,
+                config: Optional[Config] = None) -> np.ndarray:
+    """One piece as a [T, 128, 3] piano roll (play, replay, volume).
+
+    Deterministic in (style_id, bars, seed).  T = bars * notes_per_bar.
+    """
+    cfg = config or default_config()
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed, style_id, bars]))
+    npb = cfg.notes_per_bar
+    T = bars * npb
+    roll = np.zeros((T, cfg.midi_max_notes, 3), np.float64)
+
+    tonic, mode = _style_scale(style_id, cfg)
+    progression = _PROGRESSIONS[style_id % len(_PROGRESSIONS)]
+
+    def degree_pitch(degree: int, octave: int = 0) -> int:
+        return tonic + 12 * (octave + degree // 7) + mode[degree % 7]
+
+    def put(t0: int, dur: int, pitch: int, vol: float) -> None:
+        if not (cfg.min_note <= pitch < cfg.max_note):
+            return
+        dur = min(dur, T - t0)
+        # Re-articulation if the same pitch is already sounding at t0.
+        if t0 > 0 and roll[t0 - 1, pitch, 0] > 0:
+            roll[t0, pitch, 1] = 1.0
+        roll[t0:t0 + dur, pitch, 0] = 1.0
+        roll[t0:t0 + dur, pitch, 2] = vol
+
+    # Left hand: one root-position triad per bar, held a whole bar, with a
+    # re-struck root on beat 3 (replay material).
+    for bar in range(bars):
+        deg = progression[bar % len(progression)]
+        root = degree_pitch(deg, octave=-1)
+        vol = 0.55 + 0.05 * ((bar % 4) == 0)
+        for chord_deg in (0, 2, 4):
+            put(bar * npb, npb, degree_pitch(deg + chord_deg, octave=-1), vol)
+        put(bar * npb + npb // 2, npb // 2, root, vol)     # re-strike
+
+    # Right hand: scale-wise melody in 8th notes (every 2 steps), mostly
+    # steps with occasional leaps, accent on the downbeat.
+    degree = 7          # start an octave above the tonic
+    for t in range(0, T, 2):
+        if rng.random() < 0.12:
+            continue                         # breathe
+        move = rng.choice([-4, -2, -1, 0, 1, 2, 4],
+                          p=[.08, .08, .27, .14, .27, .08, .08])
+        degree = int(np.clip(degree + move, 4, 17))
+        beat_pos = t % npb
+        accent = 0.9 if beat_pos == 0 else (0.75 if beat_pos % 4 == 0 else 0.6)
+        dur = 4 if (rng.random() < 0.15) else 2
+        put(t, dur, degree_pitch(degree), accent)
+
+    # Quantize volumes to exact MIDI velocities so encode→decode round-trips
+    # to the same grid values.
+    vel = np.round(roll[..., 2] * cfg.max_velocity)
+    roll[..., 2] = vel / cfg.max_velocity
+    roll[..., 0] = (roll[..., 2] > 0).astype(np.float64)
+    return roll
+
+
+def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
+                       files_per_style: int = 3, bars: int = 16,
+                       seed: int = 0,
+                       config: Optional[Config] = None) -> list:
+    """Write a .mid corpus under `root` using the config's style-directory
+    taxonomy (so load_all() consumes it unchanged).  Returns written paths."""
+    from music_generator_tpu.midi.codec import midi_encode
+    from music_generator_tpu.midi.io import write_midifile
+
+    cfg = config or default_config()
+    if styles is None:
+        styles = range(len(cfg.flat_styles))
+    paths = []
+    for style_id in styles:
+        d = os.path.join(root, cfg.flat_styles[style_id])
+        os.makedirs(d, exist_ok=True)
+        for i in range(files_per_style):
+            roll = synth_piece(style_id, bars=bars, seed=seed + i, config=cfg)
+            path = os.path.join(d, f"synth_{style_id}_{i}.mid")
+            write_midifile(path, midi_encode(roll, step=1, config=cfg))
+            paths.append(path)
+    return paths
+
+
+def pitch_class_histogram(roll: np.ndarray) -> np.ndarray:
+    """Normalized played-mass per pitch class of a [T, P, 3] roll (P = 128
+    or num_notes with an offset baked in by the caller)."""
+    play = roll[..., 0]
+    classes = np.arange(roll.shape[1]) % 12
+    hist = np.zeros(12)
+    for c in range(12):
+        hist[c] = play[:, classes == c].sum()
+    total = hist.sum()
+    return hist / total if total > 0 else hist

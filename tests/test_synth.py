@@ -1,0 +1,63 @@
+"""Synthetic corpus generator tests: determinism, musical structure
+(replay channel exercised, style separability), and that the written corpus
+round-trips the codec into load_all()."""
+
+import os
+
+import numpy as np
+
+from music_generator_tpu.config import test_config
+from music_generator_tpu.data.dataset import load_all
+from music_generator_tpu.data.synth import (
+    pitch_class_histogram,
+    synth_piece,
+    write_synth_corpus,
+)
+
+CFG = test_config()
+
+
+def test_synth_piece_deterministic():
+    a = synth_piece(0, bars=4, seed=3, config=CFG)
+    b = synth_piece(0, bars=4, seed=3, config=CFG)
+    np.testing.assert_array_equal(a, b)
+    c = synth_piece(0, bars=4, seed=4, config=CFG)
+    assert not np.array_equal(a, c)
+
+
+def test_synth_piece_shape_and_channels():
+    roll = synth_piece(1, bars=4, seed=0, config=CFG)
+    assert roll.shape == (4 * CFG.notes_per_bar, CFG.midi_max_notes, 3)
+    play, replay, vol = roll[..., 0], roll[..., 1], roll[..., 2]
+    assert set(np.unique(play)) <= {0.0, 1.0}
+    assert replay.sum() > 0, "re-articulations must exercise the replay bit"
+    assert (replay <= play).all()
+    assert ((vol > 0) == (play > 0)).all()
+    assert vol.max() <= 1.0
+    # Pitches stay in the modeled range.
+    outside = np.concatenate([play[:, :CFG.min_note],
+                              play[:, CFG.max_note:]], axis=1)
+    assert outside.sum() == 0
+
+
+def test_styles_are_separable():
+    """Same style, different seeds → near-identical pitch-class profile;
+    different styles → far apart (what lets the echo test score fidelity)."""
+    h0a = pitch_class_histogram(synth_piece(0, bars=16, seed=0, config=CFG))
+    h0b = pitch_class_histogram(synth_piece(0, bars=16, seed=9, config=CFG))
+    h5 = pitch_class_histogram(synth_piece(5, bars=16, seed=0, config=CFG))
+    assert np.minimum(h0a, h0b).sum() > 0.85
+    assert np.minimum(h0a, h5).sum() < 0.5
+
+
+def test_corpus_loads_through_pipeline(tmp_path, monkeypatch):
+    cfg = CFG.replace(bars_per_seq=2, out_dir=str(tmp_path / "out"))
+    paths = write_synth_corpus(str(tmp_path), styles=[0, 1],
+                               files_per_style=1, bars=4, config=cfg)
+    assert all(os.path.exists(p) for p in paths)
+    monkeypatch.chdir(tmp_path)
+    ds = load_all(config=cfg)
+    assert len(ds) > 0
+    assert ds.notes.shape[1:] == (cfg.seq_len, cfg.num_notes, 3)
+    # Style one-hots point at the right directories.
+    assert set(np.argmax(ds.styles[:, 0], axis=-1)) == {0, 1}
