@@ -131,6 +131,14 @@ class Config:
     # Fuse the generation pitch loop (note-axis cells + heads + sampling)
     # into one Pallas kernel; applies when lstm_kernel resolves to "pallas".
     fused_gen_kernel: bool = True
+    # Backend-stable generation (the BASELINE.md byte-identity target: the
+    # TPU chip's .mid output must match the framework's own CPU run at a
+    # fixed seed).  Generation compute runs in this dtype with this matmul
+    # precision — float32/highest keeps Bernoulli draws off bf16 knife
+    # edges; training keeps compute_dtype (bf16) untouched.  See
+    # docs/FIDELITY.md for the verified cross-backend results.
+    gen_dtype: str = "float32"
+    gen_matmul_precision: str = "highest"
 
     # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
     @property

@@ -189,24 +189,39 @@ def load_all(styles: Optional[Sequence[Sequence[str]]] = None,
         np.concatenate(style_data).astype(np.float32))
 
 
+def epoch_permutation(n: int, batch_size: int, rng: np.random.Generator,
+                      drop_remainder: bool = True) -> np.ndarray:
+    """The epoch's shuffled sample indices as an [S, batch_size] matrix.
+
+    Shared by the streaming and epoch-scan trainer paths so both see the
+    identical batch stream for a given rng state.  With
+    drop_remainder=False the final short batch wraps around (np.resize
+    cycles, so datasets smaller than a batch still fill one)."""
+    perm = rng.permutation(n)
+    if not drop_remainder and n % batch_size:
+        pad = batch_size - n % batch_size
+        perm = np.concatenate([perm, np.resize(perm, pad)])
+    S = len(perm) // batch_size
+    return perm[:S * batch_size].reshape(S, batch_size)
+
+
 def batches(ds: Dataset, batch_size: int, *, rng: np.random.Generator,
             drop_remainder: bool = True) -> Iterator[Tuple[np.ndarray, ...]]:
     """Shuffled fixed-shape batches for one epoch.
 
     Fixed shapes keep every step on the same compiled executable (XLA would
     recompile on a ragged final batch, which Keras tolerated —
-    ref: train.py:29).  With drop_remainder=False the final short batch is
-    wrapped around with samples from the epoch's start instead.
+    ref: train.py:29).
     """
-    n = len(ds)
-    if n == 0:
+    if len(ds) == 0:
         return
-    perm = rng.permutation(n)
-    if not drop_remainder and n % batch_size:
-        pad = batch_size - n % batch_size
-        # np.resize cycles perm, so datasets smaller than a batch (pad > n)
-        # still fill a whole batch.
-        perm = np.concatenate([perm, np.resize(perm, pad)])
-    for i in range(0, len(perm) - batch_size + 1, batch_size):
-        sel = perm[i:i + batch_size]
+    for sel in epoch_permutation(len(ds), batch_size, rng, drop_remainder):
         yield (ds.notes[sel], ds.targets[sel], ds.beats[sel], ds.styles[sel])
+
+
+def stacked_epoch(ds: Dataset, batch_size: int, *, rng: np.random.Generator,
+                  drop_remainder: bool = False) -> Tuple[np.ndarray, ...]:
+    """One whole shuffled epoch as [S, batch_size, ...] arrays — the input
+    of the on-device epoch scan (parallel.train_step.make_epoch_step)."""
+    idx = epoch_permutation(len(ds), batch_size, rng, drop_remainder)
+    return (ds.notes[idx], ds.targets[idx], ds.beats[idx], ds.styles[idx])

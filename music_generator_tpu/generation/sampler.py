@@ -61,6 +61,13 @@ class Sampler:
 
     def __init__(self, model: DeepJ, params: Params, default_temp: float = 1.0,
                  mesh=None):
+        # Generation runs backend-stable (cfg.gen_dtype, usually float32 —
+        # vs bf16 training compute) so fixed-seed output is byte-identical
+        # between the TPU chip and a CPU run (BASELINE.md fidelity target;
+        # docs/FIDELITY.md records the verification).
+        cfg = model.cfg
+        if cfg.compute_dtype != cfg.gen_dtype:
+            model = DeepJ(cfg.replace(compute_dtype=cfg.gen_dtype))
         self.model = model
         self.params = params
         self.cfg = model.cfg
@@ -186,8 +193,12 @@ class Sampler:
         def scan_body(state, t):
             return self._step(params, style_emb, state, t)
 
-        state, notes = jax.lax.scan(
-            scan_body, state, t0 + jnp.arange(num_steps, dtype=jnp.int32))
+        # Highest matmul precision: on TPU, f32 matmuls otherwise run as
+        # single-pass bf16 on the MXU, which shifts probabilities enough to
+        # flip Bernoulli draws vs a CPU run (the byte-identity target).
+        with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
+            state, notes = jax.lax.scan(
+                scan_body, state, t0 + jnp.arange(num_steps, dtype=jnp.int32))
         return state, notes.transpose(1, 0, 2, 3)     # [G, C, N, 3]
 
     def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
@@ -208,7 +219,8 @@ class Sampler:
             axis = self.mesh.axis_names[0]
             styles_arr = jax.device_put(
                 styles_arr, NamedSharding(self.mesh, P(axis)))
-        style_emb = self.model.style_embedding(self.params, styles_arr)
+        with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
+            style_emb = self.model.style_embedding(self.params, styles_arr)
 
         num_steps = cfg.notes_per_bar * num_bars
         chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)

@@ -46,14 +46,11 @@ def create_train_state(model: DeepJ, seed: int = 0,
                       jax.random.key_data(drop_key)), optimizer
 
 
-def make_train_step(model: DeepJ, optimizer: optax.GradientTransformation,
-                    mesh: Mesh, axis_name: str = "data") -> Callable:
-    """Build the jitted train step: (state, batch) → (state, metrics).
-
-    batch = (notes, targets, beats, styles), each sharded on dim 0.
-    """
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis_name))
+def _step_body(model: DeepJ,
+               optimizer: optax.GradientTransformation) -> Callable:
+    """The traced train step: (state, batch) → (state, metrics).  Shared by
+    the per-step jit and the whole-epoch scan so both paths compute the
+    identical update for a given (state, batch)."""
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(jax.random.wrap_key_data(state.rng),
@@ -77,10 +74,22 @@ def make_train_step(model: DeepJ, optimizer: optax.GradientTransformation,
         new_state = TrainState(params, opt_state, state.step + 1, state.rng)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(model: DeepJ, optimizer: optax.GradientTransformation,
+                    mesh: Mesh, axis_name: str = "data") -> Callable:
+    """Build the jitted train step: (state, batch) → (state, metrics).
+
+    batch = (notes, targets, beats, styles), each sharded on dim 0.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
     # Replicate the whole train state, shard the batch on its leading dim;
     # XLA derives the gradient all-reduce from these shardings.
     return jax.jit(
-        step_fn,
+        _step_body(model, optimizer),
         in_shardings=(jax.tree.map(lambda _: repl, _state_struct(model, optimizer)),
                       (data, data, data, data)),
         out_shardings=(jax.tree.map(lambda _: repl, _state_struct(model, optimizer)),
@@ -100,6 +109,37 @@ def _state_struct(model: DeepJ, optimizer):
         return TrainState(params, opt_state, jnp.zeros([], jnp.int32),
                           jax.random.key_data(jax.random.key(0)))
     return jax.eval_shape(build)
+
+
+def make_epoch_step(model: DeepJ, optimizer: optax.GradientTransformation,
+                    mesh: Mesh, axis_name: str = "data") -> Callable:
+    """Build a jitted WHOLE-EPOCH step: (state, batches) → (state, metrics).
+
+    batches = (notes, targets, beats, styles), each [S, B, ...] — S batches
+    staged to device in ONE transfer, then `lax.scan` runs the train step S
+    times entirely on-device.  On a 1-core host the per-step feed loop costs
+    ~6x the step's compute (measured in docs/PERFORMANCE.md); scanning the
+    epoch removes the host from the loop completely.  Metrics come back as
+    [S] arrays.  Replaces the Keras queued-feeding overlap the reference
+    relied on (ref: train.py:29) with something strictly better.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, axis_name))   # [S, B, ...]: shard B
+    body = _step_body(model, optimizer)
+
+    def epoch_fn(state: TrainState, batches) -> Tuple[TrainState, dict]:
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(
+        epoch_fn,
+        in_shardings=(jax.tree.map(lambda _: repl,
+                                   _state_struct(model, optimizer)),
+                      (data, data, data, data)),
+        out_shardings=(jax.tree.map(lambda _: repl,
+                                    _state_struct(model, optimizer)),
+                       None),
+        donate_argnums=(0,),
+    )
 
 
 def make_eval_step(model: DeepJ, mesh: Mesh, axis_name: str = "data") -> Callable:

@@ -18,4 +18,7 @@ def test_entry_jits():
 
 
 def test_dryrun_multichip_8():
-    graft.dryrun_multichip(8)
+    # Same path the driver runs (flagship dims, train + parity + sharded
+    # generation); one bar of sequence keeps the suite fast — the driver's
+    # call uses the full 8-bar seq_len.
+    graft.dryrun_multichip(8, bars_per_seq=1)

@@ -273,3 +273,42 @@ def test_shard_batch_process_local_path_matches_device_put():
     b = jax.make_array_from_process_local_data(sharding, x)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert len(b.sharding.device_set) == 8
+
+
+def test_epoch_scan_matches_streaming_path(tmp_path):
+    """The on-device whole-epoch scan must produce the same losses and
+    params as the per-step streaming path (they share _step_body and the
+    epoch_permutation batch stream)."""
+    cfg = small_config(batch_size=4, out_dir=str(tmp_path / "a"))
+    model = DeepJ(cfg)
+    ds = _synthetic_dataset(cfg, n=8)
+
+    t_scan = Trainer(model, TrainConfig(epochs=2, tensorboard=False,
+                                        checkpoint=False, epoch_scan=True),
+                     mesh=make_mesh(jax.devices()[:1]))
+    h_scan = t_scan.fit(ds)
+
+    t_stream = Trainer(model, TrainConfig(epochs=2, tensorboard=False,
+                                          checkpoint=False, epoch_scan=False),
+                       mesh=make_mesh(jax.devices()[:1]))
+    h_stream = t_stream.fit(ds)
+
+    np.testing.assert_allclose(h_scan["loss"], h_stream["loss"], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t_scan.state.params),
+                    jax.tree.leaves(t_stream.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_epoch_scan_respects_memory_budget(tmp_path):
+    """An epoch bigger than epoch_scan_max_bytes falls back to streaming."""
+    cfg = small_config(batch_size=4, out_dir=str(tmp_path / "out"))
+    model = DeepJ(cfg)
+    ds = _synthetic_dataset(cfg, n=8)
+    trainer = Trainer(model,
+                      TrainConfig(epochs=1, tensorboard=False,
+                                  checkpoint=False, epoch_scan=True,
+                                  epoch_scan_max_bytes=1),
+                      mesh=make_mesh(jax.devices()[:1]))
+    history = trainer.fit(ds)
+    assert trainer._epoch_step is None          # streaming path used
+    assert len(history["loss"]) == 1

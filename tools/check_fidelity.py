@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Cross-backend byte-identity check (BASELINE.md fidelity target): MIDI
+generated on the TPU chip at a fixed seed must be byte-identical to the
+framework's own CPU run with the same params/seed.
+
+Mechanics: the first invocation (TPU) saves the exact param values to
+<out>/params.npz, generates .mid files for a seed/style matrix under
+<out>/tpu[-variant]/, then re-invokes itself under JAX_PLATFORMS=cpu to
+produce <out>/cpu/, byte-compares every file, and writes <out>/FIDELITY.json.
+
+Variants on TPU:
+  xla    — the lax.scan pitch loop (the same code path CPU uses)
+  fused  — the Pallas fused pitch-loop kernel (default TPU path for G<=8)
+
+Run from /root/repo:  python tools/check_fidelity.py --out runs/fidelity
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEEDS = (0, 1, 2, 3, 4, 5, 6, 7)
+BARS = 4
+
+
+def _params_to_npz(params, path):
+    import jax
+    import numpy as np
+    flat = {jax.tree_util.keystr(k): np.asarray(v)
+            for k, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    np.savez(path, **flat)
+
+
+def _params_from_npz(model, path):
+    import jax
+    import numpy as np
+    from music_generator_tpu.models.deepj import init_params
+    template = init_params(jax.random.key(0), model.cfg)
+    data = np.load(path)
+    leaves_kv = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [data[jax.tree_util.keystr(k)] for k, _ in leaves_kv[0]]
+    return jax.tree_util.tree_unflatten(leaves_kv[1], leaves)
+
+
+def generate_suite(out_dir: str, variant: str, params_npz: str) -> None:
+    """Generate the seed/style matrix into out_dir with the given kernel
+    variant ('xla' or 'fused')."""
+    import jax
+    import numpy as np
+
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.data.dataset import compute_genre, unclamp_midi
+    from music_generator_tpu.generation.sampler import Sampler
+    from music_generator_tpu.midi.codec import midi_encode
+    from music_generator_tpu.midi.io import write_midifile
+    from music_generator_tpu.models.deepj import DeepJ
+    from music_generator_tpu.utils import one_hot
+
+    cfg = default_config().replace(
+        lstm_kernel="xla" if variant == "xla" else "auto",
+        fused_gen_kernel=(variant == "fused"))
+    model = DeepJ(cfg)
+
+    if os.path.exists(params_npz):
+        params = _params_from_npz(model, params_npz)
+    else:
+        from music_generator_tpu.models.deepj import init_params
+        params = init_params(jax.random.key(0), cfg)
+        _params_to_npz(params, params_npz)
+
+    sampler = Sampler(model, params)
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"[{jax.default_backend()}/{variant}] generating into {out_dir}")
+    for seed in SEEDS:
+        # Single-stream (G=1, the fused-kernel regime) + the CLI's default
+        # 3-genre batch (G=3).
+        for tag, styles in (("solo", [one_hot(0, cfg.num_styles)]),
+                            ("genres", [compute_genre(g, cfg)
+                                        for g in range(3)])):
+            result = sampler.generate(styles, num_bars=BARS, seed=seed)
+            for i in range(result.notes.shape[0]):
+                mf = midi_encode(unclamp_midi(result.notes[i], cfg),
+                                 config=cfg)
+                write_midifile(
+                    os.path.join(out_dir, f"{tag}_{seed}_{i}.mid"), mf)
+
+
+def compare_dirs(a: str, b: str) -> dict:
+    files = sorted(os.listdir(a))
+    assert files == sorted(os.listdir(b)), "file sets differ"
+    mismatches = [f for f in files
+                  if open(os.path.join(a, f), "rb").read()
+                  != open(os.path.join(b, f), "rb").read()]
+    return {"files": len(files), "mismatches": mismatches,
+            "identical": not mismatches}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="runs/fidelity")
+    parser.add_argument("--phase", default="main",
+                        choices=["main", "cpu-child"])
+    args = parser.parse_args(argv)
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    params_npz = os.path.join(out, "params.npz")
+
+    if args.phase == "cpu-child":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu"
+        generate_suite(os.path.join(out, "cpu"), "xla", params_npz)
+        return
+
+    from music_generator_tpu.utils.compile_cache import enable
+    enable()
+    import jax
+    backend = jax.default_backend()
+    print("primary backend:", backend)
+    generate_suite(os.path.join(out, f"{backend}-xla"), "xla", params_npz)
+    if backend == "tpu":
+        generate_suite(os.path.join(out, f"{backend}-fused"), "fused",
+                       params_npz)
+
+    # CPU oracle in a child process (the backend can't change in-process).
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    "--out", out, "--phase", "cpu-child"],
+                   check=True, env=env, cwd=os.path.dirname(
+                       os.path.dirname(os.path.abspath(__file__))))
+
+    report = {"backend": backend, "seeds": list(SEEDS), "bars": BARS}
+    report["xla_vs_cpu"] = compare_dirs(
+        os.path.join(out, f"{backend}-xla"), os.path.join(out, "cpu"))
+    if backend == "tpu":
+        report["fused_vs_cpu"] = compare_dirs(
+            os.path.join(out, f"{backend}-fused"), os.path.join(out, "cpu"))
+    with open(os.path.join(out, "FIDELITY.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
