@@ -61,8 +61,14 @@ def generate_suite(out_dir: str, variant: str, params_npz: str) -> None:
     from music_generator_tpu.utils import one_hot
 
     cfg = default_config().replace(
-        lstm_kernel="xla" if variant == "xla" else "auto",
+        lstm_kernel="xla" if variant in ("xla", "bf16") else "auto",
         fused_gen_kernel=(variant == "fused"))
+    if variant == "bf16":
+        # The control: generation WITHOUT the backend-stability discipline
+        # (bf16 compute, default matmul precision) — quantifies how much
+        # the f32/highest discipline buys.
+        cfg = cfg.replace(gen_dtype="bfloat16",
+                          gen_matmul_precision="default")
     model = DeepJ(cfg)
 
     if os.path.exists(params_npz):
@@ -125,6 +131,8 @@ def main(argv=None):
     if backend == "tpu":
         generate_suite(os.path.join(out, f"{backend}-fused"), "fused",
                        params_npz)
+        generate_suite(os.path.join(out, f"{backend}-bf16"), "bf16",
+                       params_npz)
 
     # CPU oracle in a child process (the backend can't change in-process).
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
@@ -139,6 +147,8 @@ def main(argv=None):
     if backend == "tpu":
         report["fused_vs_cpu"] = compare_dirs(
             os.path.join(out, f"{backend}-fused"), os.path.join(out, "cpu"))
+        report["bf16_vs_cpu"] = compare_dirs(
+            os.path.join(out, f"{backend}-bf16"), os.path.join(out, "cpu"))
     with open(os.path.join(out, "FIDELITY.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
