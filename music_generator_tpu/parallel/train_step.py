@@ -113,28 +113,41 @@ def _state_struct(model: DeepJ, optimizer):
 
 def make_epoch_step(model: DeepJ, optimizer: optax.GradientTransformation,
                     mesh: Mesh, axis_name: str = "data") -> Callable:
-    """Build a jitted WHOLE-EPOCH step: (state, batches) → (state, metrics).
+    """Build a jitted WHOLE-EPOCH step over a device-RESIDENT dataset:
+    (state, data, perm) → (state, metrics).
 
-    batches = (notes, targets, beats, styles), each [S, B, ...] — S batches
-    staged to device in ONE transfer, then `lax.scan` runs the train step S
-    times entirely on-device.  On a 1-core host the per-step feed loop costs
-    ~6x the step's compute (measured in docs/PERFORMANCE.md); scanning the
-    epoch removes the host from the loop completely.  Metrics come back as
-    [S] arrays.  Replaces the Keras queued-feeding overlap the reference
-    relied on (ref: train.py:29) with something strictly better.
+    data = (notes, targets, beats, styles) as full [N, ...] arrays staged to
+    HBM once (replicated — corpora at DeepJ scale are small, and a
+    replicated source makes every per-step gather device-local on any mesh);
+    perm = [S, B] int32 sample indices for this epoch's shuffled batches.
+    `lax.scan` gathers each batch from HBM and runs the train step —
+    the host leaves the loop entirely, and per-epoch host→device traffic is
+    just the index matrix (~KB) instead of re-staging the whole epoch
+    (~150 MB through this box's relay, which dominated epoch time).  The
+    gathered batch is sharding-constrained to the data axis so the step
+    partitions exactly like the streaming path.  Metrics return as [S]
+    arrays.  Replaces the Keras queued-feeding overlap the reference relied
+    on (ref: train.py:29) with something strictly better (measured in
+    docs/PERFORMANCE.md).
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(None, axis_name))   # [S, B, ...]: shard B
+    batch_sharding = NamedSharding(mesh, P(axis_name))
     body = _step_body(model, optimizer)
 
-    def epoch_fn(state: TrainState, batches) -> Tuple[TrainState, dict]:
-        return jax.lax.scan(body, state, batches)
+    def epoch_fn(state: TrainState, data, perm) -> Tuple[TrainState, dict]:
+        def step(state, idx):
+            batch = tuple(
+                jax.lax.with_sharding_constraint(a[idx], batch_sharding)
+                for a in data)
+            return body(state, batch)
+
+        return jax.lax.scan(step, state, perm)
 
     return jax.jit(
         epoch_fn,
         in_shardings=(jax.tree.map(lambda _: repl,
                                    _state_struct(model, optimizer)),
-                      (data, data, data, data)),
+                      (repl, repl, repl, repl), repl),
         out_shardings=(jax.tree.map(lambda _: repl,
                                     _state_struct(model, optimizer)),
                        None),

@@ -19,7 +19,11 @@ from typing import Callable, Iterable, Iterator, Optional
 import jax
 import numpy as np
 
-from music_generator_tpu.data.dataset import Dataset, batches, stacked_epoch
+from music_generator_tpu.data.dataset import (
+    Dataset,
+    batches,
+    epoch_permutation,
+)
 from music_generator_tpu.models.deepj import DeepJ
 from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
 from music_generator_tpu.parallel.train_step import (
@@ -162,34 +166,32 @@ class Trainer:
         bad_epochs = 0
         history = {"loss": [], "epoch_seconds": []}
 
-        # Whole-epoch on-device scan when it fits in HBM and we're not
-        # profiling per-step (both paths consume identical batch streams —
-        # epoch_permutation is shared).
-        per_sample = sum(int(a[:1].nbytes) for a in
-                         (ds.notes, ds.targets, ds.beats, ds.styles))
-        n_batches = -(-len(ds) // batch_size)
-        staged_bytes = n_batches * batch_size * per_sample
+        # Whole-epoch on-device scan over a device-resident dataset when it
+        # fits in HBM and we're not profiling per-step (both paths consume
+        # identical batch streams — epoch_permutation is shared).
+        ds_arrays = (ds.notes, ds.targets, ds.beats, ds.styles)
+        ds_bytes = sum(int(a.nbytes) for a in ds_arrays)
         use_scan = (tc.epoch_scan and not tc.profile
-                    and staged_bytes <= tc.epoch_scan_max_bytes)
+                    and ds_bytes <= tc.epoch_scan_max_bytes)
 
-        epoch_iter = None
+        resident = None
         if use_scan:
             if self._epoch_step is None:
                 self._epoch_step = make_epoch_step(self.model, self.optimizer,
                                                    self.mesh)
             from jax.sharding import NamedSharding, PartitionSpec as P
-            sharding = NamedSharding(self.mesh, P(None, cfg.data_axis))
-            # Stage epoch e+1's permuted arrays while epoch e scans.
-            epoch_iter = prefetch(
-                (stacked_epoch(ds, batch_size, rng=rng) for _ in range(epochs)),
-                lambda arrays: tuple(jax.device_put(a, sharding)
-                                     for a in arrays),
-                depth=1)
+            repl = NamedSharding(self.mesh, P())
+            # The dataset lives in HBM for the whole fit; each epoch ships
+            # only its [S, B] shuffled index matrix.
+            resident = tuple(jax.device_put(a, repl) for a in ds_arrays)
 
         for epoch in range(epochs):
             t0 = time.perf_counter()
             if use_scan:
-                epoch_losses = self._scan_epoch(next(epoch_iter), logger)
+                perm = epoch_permutation(len(ds), batch_size, rng,
+                                         drop_remainder=False)
+                epoch_losses = self._scan_epoch(resident,
+                                                perm.astype(np.int32), logger)
             else:
                 epoch_losses = self._stream_epoch(ds, batch_size, rng, epoch,
                                                   logger, meter)
@@ -225,11 +227,11 @@ class Trainer:
         logger.close()
         return history
 
-    def _scan_epoch(self, staged_batches, logger: MetricLogger) -> np.ndarray:
-        """One on-device epoch: a single jitted lax.scan over the staged
-        [S, B, ...] batch arrays; returns the S per-step losses."""
+    def _scan_epoch(self, resident, perm, logger: MetricLogger) -> np.ndarray:
+        """One on-device epoch: a single jitted lax.scan gathering each
+        batch from the HBM-resident dataset; returns the S per-step losses."""
         base_step = int(self.state.step)
-        self.state, metrics = self._epoch_step(self.state, staged_batches)
+        self.state, metrics = self._epoch_step(self.state, resident, perm)
         host = {k: np.asarray(v) for k, v in metrics.items()}
         losses = host["loss"]
         for k in range(self.tc.log_every - 1, len(losses), self.tc.log_every):
