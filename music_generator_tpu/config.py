@@ -128,9 +128,18 @@ class Config:
     # Fuse both LSTM layers of an axis into one Pallas kernel (in-kernel
     # inter-layer dropout); applies when lstm_kernel resolves to "pallas".
     fused_axis_kernel: bool = True
+    # v3 biaxial kernels (ops/pallas_biax.py): ALL dropout sites, style
+    # adds, the inter-stack relayout, the shift-chosen concat, and the
+    # output heads fused on-chip.  Takes precedence over fused_axis_kernel
+    # for the training/eval forward when applicable.
+    fused_biax_v3: bool = True
     # Fuse the generation pitch loop (note-axis cells + heads + sampling)
-    # into one Pallas kernel; applies when lstm_kernel resolves to "pallas".
+    # into one Pallas kernel; applies when lstm_kernel resolves to "pallas"
+    # and the generation batch is at most fused_gen_max_batch (above that
+    # the XLA scan pipelines the per-pitch matmuls better — measured in
+    # docs/PERFORMANCE.md).
     fused_gen_kernel: bool = True
+    fused_gen_max_batch: int = 8
     # Backend-stable generation (the BASELINE.md byte-identity target: the
     # TPU chip's .mid output must match the framework's own CPU run at a
     # fixed seed).  Generation compute runs in this dtype with this matmul

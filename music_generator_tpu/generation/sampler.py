@@ -97,7 +97,8 @@ class Sampler:
         us = jax.random.uniform(rng, (G, N, 2))
 
         if (cfg.fused_gen_kernel and model._kernel() == "pallas"
-                and len(params.note_axis) == 2 and G <= 8):
+                and len(params.note_axis) == 2
+                and G <= cfg.fused_gen_max_batch):
             # The whole pitch loop (2 LSTM layers + heads + temperature +
             # Bernoulli compares) as ONE Pallas invocation.  Wins for small
             # generation batches (0.63 vs 0.77 ms/step single-stream); at

@@ -383,10 +383,25 @@ class DeepJ:
 
     # -- full forward (training graph, ref: model.py:128-152) -------------
 
+    def _use_biax_v3(self, params: Params) -> bool:
+        """The v3 fully-fused kernels apply to the DeepJ shape: two equal-
+        width layers per axis, Pallas backend."""
+        cfg = self.cfg
+        return (cfg.fused_biax_v3 and self._kernel() == "pallas"
+                and len(params.time_axis) == 2
+                and len(params.note_axis) == 2
+                and params.time_axis[0].lstm.recurrent.shape
+                == params.time_axis[1].lstm.recurrent.shape
+                and params.note_axis[0].lstm.recurrent.shape
+                == params.note_axis[1].lstm.recurrent.shape)
+
     def forward(self, params: Params, notes: jax.Array, chosen: jax.Array,
                 beat: jax.Array, style: jax.Array, rng=None,
                 train: bool = False) -> jax.Array:
         cfg = self.cfg
+        if self._use_biax_v3(params):
+            return self._forward_biax_v3(params, notes, chosen, beat, style,
+                                         rng, train)
         notes = dropout(_sub(rng, "in_notes"), notes, cfg.input_dropout, train)
         beat = dropout(_sub(rng, "in_beat"), beat, cfg.input_dropout, train)
         chosen = dropout(_sub(rng, "in_chosen"), chosen, cfg.input_dropout, train)
@@ -402,6 +417,63 @@ class DeepJ:
         out_nm = self.note_axis_nm(params, t_out_tm.transpose(2, 1, 0, 3),
                                    chosen, style_emb, rng, train)
         return out_nm.transpose(1, 2, 0, 3)
+
+    def _forward_biax_v3(self, params: Params, notes: jax.Array,
+                         chosen: jax.Array, beat: jax.Array, style: jax.Array,
+                         rng=None, train: bool = False) -> jax.Array:
+        """The v3 fully-fused forward: both axes run as single Pallas stacks
+        in the canonical [scan, across, B, feat] layout — every dropout
+        site, both style adds, the inter-stack relayout, the shift-chosen
+        concat, and the heads live on-chip (ops/pallas_biax.py)."""
+        from music_generator_tpu.ops.pallas_biax import (
+            biax_note_stack,
+            biax_time_stack,
+        )
+        cfg = self.cfg
+        dt = self._dt()
+        notes = dropout(_sub(rng, "in_notes"), notes, cfg.input_dropout, train)
+        beat = dropout(_sub(rng, "in_beat"), beat, cfg.input_dropout, train)
+        chosen = dropout(_sub(rng, "in_chosen"), chosen, cfg.input_dropout,
+                         train)
+
+        style_emb = self.style_embedding(params, style)        # [B, T, S]
+        conv_out = self.octave_conv(params, notes, rng, train)
+        feats = self.note_features(notes, beat, conv_out)      # [B, T, N, F]
+
+        p = cfg.dropout if train else 0.0
+        if train and rng is not None:
+            seed_t = jax.random.randint(_sub(rng, "tfuse"), (), 0, 2**31 - 1)
+            seed_n = jax.random.randint(_sub(rng, "nfuse"), (), 0, 2**31 - 1)
+        else:
+            seed_t = seed_n = 0
+
+        emb_tb = style_emb.transpose(1, 0, 2)                  # [T, B, S]
+        tl0, tl1 = params.time_axis
+        s0_t = jnp.tanh(dense_apply(tl0.style_proj, emb_tb, dt))
+        s1_t = jnp.tanh(dense_apply(tl1.style_proj, emb_tb, dt))
+        ht = biax_time_stack(
+            feats.transpose(1, 2, 0, 3),                       # [T, N, B, F]
+            s0_t, s1_t,
+            tl0.lstm.kernel, tl0.lstm.bias, tl1.lstm.bias,
+            tl0.lstm.recurrent, tl1.lstm.kernel, tl1.lstm.recurrent,
+            dropout_p=p, seed=seed_t, compute_dtype=dt)
+
+        nl0, nl1 = params.note_axis
+        chosen_ntb = chosen.transpose(2, 1, 0, 3)              # [N, T, B, 3]
+        shift_chosen = jnp.concatenate(
+            [jnp.zeros_like(chosen_ntb[:1]), chosen_ntb[:-1]], axis=0)
+        s0_n = jnp.tanh(dense_apply(nl0.style_proj, emb_tb, dt))
+        s1_n = jnp.tanh(dense_apply(nl1.style_proj, emb_tb, dt))
+        whead = jnp.concatenate(
+            [params.note_dense.kernel, params.volume_dense.kernel], axis=-1)
+        bhead = jnp.concatenate(
+            [params.note_dense.bias, params.volume_dense.bias])
+        out = biax_note_stack(
+            ht, shift_chosen, s0_n, s1_n,
+            nl0.lstm.kernel, nl0.lstm.bias, nl1.lstm.bias,
+            nl0.lstm.recurrent, nl1.lstm.kernel, nl1.lstm.recurrent,
+            whead, bhead, dropout_p=p, seed=seed_n, compute_dtype=dt)
+        return out.transpose(2, 1, 0, 3)                       # [B, T, N, 3]
 
     # -- loss (ref: model.py:14-20) ---------------------------------------
 
