@@ -81,21 +81,39 @@ class GenerationService:
     def generate(self, mixture=None, bars: int = 8, seed: int = 0,
                  temperature: float = 1.0) -> bytes:
         """Generate one piece and return .mid file bytes."""
-        cfg = self.cfg
         if mixture is None:
-            mixture = compute_genre(0, cfg)
+            mixture = compute_genre(0, self.cfg)
+        return self.generate_batch([mixture], bars=bars, seed=seed,
+                                   temperature=temperature)[0]
+
+    def generate_batch(self, mixtures, bars: int = 8, seed: int = 0,
+                       temperature: float = 1.0) -> list:
+        """Generate one piece per style mixture in a SINGLE device call —
+        the batch dimension of the on-device sampler (BASELINE config 4's
+        parallel-generation geometry) exposed at the serving layer.
+        Returns a list of .mid byte strings.  Note: the PRNG stream is
+        shared across the batch, so a piece's bytes are deterministic in
+        (params, seed, bars, temperature, batch composition, index)."""
+        cfg = self.cfg
+        if not mixtures or len(mixtures) > 64:
+            raise ValueError("1..64 mixtures per request")
         bars = max(1, min(int(bars), 4096))
         temperature = float(temperature)
         if not 0.0 < temperature <= 100.0:
             raise ValueError("temperature must be in (0, 100]")
+        styles = [np.asarray(m, np.float32) for m in mixtures]
         with self._lock:
-            result = self._sampler.generate(
-                [np.asarray(mixture, np.float32)], num_bars=bars,
-                seed=int(seed), temperature=temperature)
-        pattern = midi_encode(unclamp_midi(result.notes[0], cfg), config=cfg)
-        buf = io.BytesIO()
-        write_midifile(buf, pattern)
-        return buf.getvalue()
+            result = self._sampler.generate(styles, num_bars=bars,
+                                            seed=int(seed),
+                                            temperature=temperature)
+        out = []
+        for i in range(result.notes.shape[0]):
+            pattern = midi_encode(unclamp_midi(result.notes[i], cfg),
+                                  config=cfg)
+            buf = io.BytesIO()
+            write_midifile(buf, pattern)
+            out.append(buf.getvalue())
+        return out
 
 
 def make_handler(service: GenerationService):
@@ -118,12 +136,31 @@ def make_handler(service: GenerationService):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_batch"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/generate_batch":
+                    # {"mixtures": [[...], ...]} or {"styles_list": [[0,3],
+                    # [5]]}: one .mid per entry, generated in ONE device
+                    # call; response is JSON with base64 files.
+                    import base64
+                    if "mixtures" in payload:
+                        mixtures = [service.resolve_mixture({"mixture": m})
+                                    for m in payload["mixtures"]]
+                    else:
+                        mixtures = [service.resolve_mixture({"styles": s})
+                                    for s in payload.get("styles_list", [])]
+                    files = service.generate_batch(
+                        mixtures,
+                        bars=payload.get("bars", 8),
+                        seed=payload.get("seed", 0),
+                        temperature=payload.get("temperature", 1.0))
+                    self._json(200, {"files": [
+                        base64.b64encode(f).decode() for f in files]})
+                    return
                 mixture = service.resolve_mixture(payload)
                 midi_bytes = service.generate(
                     mixture=mixture,

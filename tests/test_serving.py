@@ -108,3 +108,39 @@ def test_temperature_sweep_one_executable(service):
         service.generate(bars=1, temperature=0.0)
     with pytest.raises(ValueError):
         service.generate(bars=1, temperature=-1.0)
+
+
+def test_generate_batch_endpoint(server, service):
+    """Batched serving: N mixtures → N .mid files from ONE device call; the
+    per-index output matches a same-composition direct call (deterministic
+    contract documented on GenerationService.generate_batch)."""
+    import base64
+    payload = {"styles_list": [[0], [1, 2], [3]], "bars": 1, "seed": 6}
+    with _post_path(server, "/generate_batch", payload) as r:
+        body = json.loads(r.read())
+    assert len(body["files"]) == 3
+    files = [base64.b64decode(f) for f in body["files"]]
+    import io as _io
+    for f in files:
+        pattern = midi.read_midifile(_io.BytesIO(f))
+        assert pattern.resolution == CFG.notes_per_beat
+    # Deterministic against the service API with identical composition.
+    mixtures = [service.resolve_mixture({"styles": s})
+                for s in payload["styles_list"]]
+    again = service.generate_batch(mixtures, bars=1, seed=6)
+    assert files == again
+
+
+def test_generate_batch_rejects_bad(service):
+    with pytest.raises(ValueError):
+        service.generate_batch([], bars=1)
+    with pytest.raises(ValueError):
+        service.generate_batch(
+            [service.resolve_mixture({"genre": 0})] * 65, bars=1)
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=120)
