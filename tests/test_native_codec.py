@@ -134,3 +134,30 @@ def test_load_midi_uses_native_and_caches(tmp_path, monkeypatch):
     # Cache hit path returns identical data.
     roll2 = load_midi("y.mid", cfg)
     np.testing.assert_array_equal(roll, roll2)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_decoder_survives_garbage(seed):
+    """Adversarial robustness: random byte soup and bit-flipped valid files
+    must either parse or raise cleanly — never crash the process (the
+    native decoder is the default corpus-loading path)."""
+    rng = np.random.default_rng(1000 + seed)
+    # Pure garbage (wrong magic) fails fast.
+    for n in (0, 3, 14, 200):
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        try:
+            native.native_decode_bytes(blob)
+        except RuntimeError:
+            pass
+    # Valid file with random mutations: every outcome must be a clean
+    # return or a RuntimeError.
+    base = bytearray(_roundtrip_bytes(_random_pattern(seed)))
+    for _ in range(40):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            roll = native.native_decode_bytes(bytes(data))
+            assert roll.ndim == 3
+        except RuntimeError:
+            pass
