@@ -34,6 +34,10 @@ def train_main(argv=None) -> None:
                         help="Skip loading an existing checkpoint")
     parser.add_argument("--profile", action="store_true",
                         help="Write an XLA profiler trace of early steps")
+    parser.add_argument("--from-keras", type=str, default=None,
+                        metavar="MODEL_H5",
+                        help="Warm-start from a reference (Keras 2) "
+                             "model.h5 (optimizer state starts fresh)")
     args = parser.parse_args(argv)
 
     _enable_compile_cache()
@@ -49,7 +53,14 @@ def train_main(argv=None) -> None:
     if jax.process_count() > 1:
         ds = ds.shard(jax.process_index(), jax.process_count())
     trainer = Trainer(model, TrainConfig(seed=args.seed, profile=args.profile))
-    if not args.no_resume:
+    if args.from_keras:
+        from music_generator_tpu.training.keras_import import (
+            load_keras_weights)
+        imported = load_keras_weights(args.from_keras, cfg)
+        trainer.state = trainer.state._replace(
+            params=jax.tree.map(jax.numpy.asarray, imported))
+        print(f"Warm-started from Keras weights: {args.from_keras}")
+    elif not args.no_resume:
         trainer.maybe_restore()
 
     print("Training")
@@ -71,12 +82,23 @@ def generate_main(argv=None) -> None:
                         help="Generate N samples interpolating the style "
                              "mixture from STYLE_A to STYLE_B in parallel "
                              "(batched on-device generation)")
+    parser.add_argument("--from-keras", type=str, default=None,
+                        metavar="MODEL_H5",
+                        help="Load weights from a reference (Keras 2) "
+                             "model.h5 instead of this framework's "
+                             "checkpoint")
     args = parser.parse_args(argv)
 
     _enable_compile_cache()
     cfg = default_config()
     model = DeepJ(cfg)
-    params, _ = build_or_load(model)
+    if args.from_keras:
+        from music_generator_tpu.training.keras_import import (
+            load_keras_weights)
+        params = load_keras_weights(args.from_keras, cfg)
+        print(f"Loaded Keras weights from {args.from_keras}")
+    else:
+        params, _ = build_or_load(model)
 
     # Default: one generation per genre's uniform composer mixture;
     # --styles: a single mean-of-one-hots mixture (ref: generate.py:144-148);

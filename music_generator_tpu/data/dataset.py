@@ -219,9 +219,3 @@ def batches(ds: Dataset, batch_size: int, *, rng: np.random.Generator,
         yield (ds.notes[sel], ds.targets[sel], ds.beats[sel], ds.styles[sel])
 
 
-def stacked_epoch(ds: Dataset, batch_size: int, *, rng: np.random.Generator,
-                  drop_remainder: bool = False) -> Tuple[np.ndarray, ...]:
-    """One whole shuffled epoch as [S, batch_size, ...] arrays — the input
-    of the on-device epoch scan (parallel.train_step.make_epoch_step)."""
-    idx = epoch_permutation(len(ds), batch_size, rng, drop_remainder)
-    return (ds.notes[idx], ds.targets[idx], ds.beats[idx], ds.styles[idx])
