@@ -109,8 +109,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=64,
                         help="global batch size (train)")
-    parser.add_argument("--gen-batch", type=int, default=64,
-                        help="parallel generations (BASELINE config 4)")
+    parser.add_argument("--gen-batch", type=int, default=None,
+                        help="parallel generations (BASELINE config 4); "
+                             "defaults to --batch in --mode generate, else "
+                             "64")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--kernel", type=str, default="auto",
@@ -127,9 +129,14 @@ def main(argv=None):
     cfg = default_config().replace(batch_size=args.batch,
                                    lstm_kernel=args.kernel)
 
+    # Round-1 compatibility: `--mode generate --batch G` set the generation
+    # batch; keep honoring it unless --gen-batch is explicit.
+    gen_batch = args.gen_batch if args.gen_batch is not None else (
+        args.batch if args.mode == "generate" else 64)
+
     results = []
     if args.mode in ("all", "generate"):
-        results.append(bench_generate(cfg, args, args.gen_batch))
+        results.append(bench_generate(cfg, args, gen_batch))
     if args.mode in ("all", "train"):
         results.append(bench_train(cfg, args))   # headline metric last
     for r in results:

@@ -440,8 +440,10 @@ class DeepJ:
         conv_out = self.octave_conv(params, notes, rng, train)
         feats = self.note_features(notes, beat, conv_out)      # [B, T, N, F]
 
-        p = cfg.dropout if train else 0.0
-        if train and rng is not None:
+        # Like the unfused path's dropout(key=None) no-op: train=True with
+        # no rng means NO dropout — not a frozen seed-0 mask.
+        p = cfg.dropout if (train and rng is not None) else 0.0
+        if p > 0.0:
             seed_t = jax.random.randint(_sub(rng, "tfuse"), (), 0, 2**31 - 1)
             seed_n = jax.random.randint(_sub(rng, "nfuse"), (), 0, 2**31 - 1)
         else:
@@ -604,4 +606,11 @@ _SITE_IDS: Dict[str, int] = {
 
 
 def _site_id(name: str) -> int:
-    return _SITE_IDS[name]
+    sid = _SITE_IDS.get(name)
+    if sid is not None:
+        return sid
+    # Configs deeper than the pre-registered 8 layers/axis fall back to a
+    # stable content hash — still a pure function of the site name (never
+    # of call order), offset clear of the static table.
+    import zlib
+    return 1000 + (zlib.crc32(name.encode()) % 1_000_000)

@@ -252,14 +252,19 @@ def _time_bwd_kernel(keep_prob: float, k: int, B: int):
             du1_s[:] = jnp.zeros_like(du1_s)
             db1_s[:] = jnp.zeros_like(db1_s)
 
-        # Recompute forward quantities at step t.
+        # Recompute forward quantities at step t.  The prev-h tapes stream
+        # through clamped index maps (block max(t-1, 0)); zero them at t=0
+        # instead of materializing shifted copies.
+        notfirst = jnp.where(t == 0, jnp.float32(0), jnp.float32(1))
         x_raw = x_ref[0].reshape(R, F)
         s0 = _bcast_rows(s0_ref[0], k, B, F)
         m0 = _mask(seed_ref, S_STYLE0, j, t, (R, F), keep_prob, cdt)
         x = x_raw + (s0 * m0 if m0 is not None else s0)
-        h0_prev = hs0p_ref[0].reshape(R, hidden)
+        h0_prev = (hs0p_ref[0].reshape(R, hidden).astype(jnp.float32)
+                   * notfirst).astype(cdt)
         c0_prev = cs0p_ref[0].reshape(R, hidden).astype(jnp.float32)
-        h1_prev = hs1p_ref[0].reshape(R, hidden)
+        h1_prev = (hs1p_ref[0].reshape(R, hidden).astype(jnp.float32)
+                   * notfirst).astype(cdt)
         c1_prev = cs1p_ref[0].reshape(R, hidden).astype(jnp.float32)
         h0 = hs0_ref[0].reshape(R, hidden)
 
@@ -397,19 +402,19 @@ def _time_bwd_impl(residuals, dhs1, keep_prob, compute_dtype):
     cdt = compute_dtype
     k, NJ = _row_tiling(N, B)
 
-    # Reversed-time index maps: block t_fwd = T-1-r — no flip copies.
+    # Reversed-time index maps: block t_fwd = T-1-r — no flip copies.  The
+    # prev-h streams read the SAME tapes at block max(t_fwd - 1, 0); the
+    # kernel zeroes them at t_fwd = 0 (no shifted-copy prologue).
     rev4 = lambda width: pl.BlockSpec(
         (1, k, B, width), lambda j, r: (T - 1 - r, j, 0, 0),
         memory_space=pltpu.VMEM)
     rev_s = lambda width: pl.BlockSpec(
         (1, B, width), lambda j, r: (T - 1 - r, 0, 0),
         memory_space=pltpu.VMEM)
-    revp = rev4
-
-    hs0_prev = jnp.concatenate(
-        [jnp.zeros((1, N, B, H), cdt), hs0[:-1]], axis=0)
-    hs1_prev = jnp.concatenate(
-        [jnp.zeros((1, N, B, H), cdt), hs1[:-1]], axis=0)
+    revp = lambda width: pl.BlockSpec(
+        (1, k, B, width),
+        lambda j, r: (jnp.maximum(T - 2 - r, 0), j, 0, 0),
+        memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         _time_bwd_kernel(keep_prob, k, B),
@@ -484,7 +489,7 @@ def _time_bwd_impl(residuals, dhs1, keep_prob, compute_dtype):
       w0.astype(cdt), b0.reshape(1, H4).astype(f32),
       b1.reshape(1, H4).astype(f32),
       u0.astype(cdt), w1.astype(cdt), u1.astype(cdt),
-      hs0_prev, cs0, hs1_prev, cs1, hs0, dhs1.astype(cdt))
+      hs0, cs0, hs1, cs1, hs0, dhs1.astype(cdt))
 
     (dx, ds0p, ds1p, dw0, db0, du0, dw1, du1, db1) = outs
     ds0 = jnp.sum(ds0p.astype(f32), axis=0)

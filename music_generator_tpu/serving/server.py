@@ -102,12 +102,22 @@ class GenerationService:
         if not 0.0 < temperature <= 100.0:
             raise ValueError("temperature must be in (0, 100]")
         styles = [np.asarray(m, np.float32) for m in mixtures]
+        # The sampler compiles one executable per generation-batch shape;
+        # through this box's relay a new shape costs minutes with the lock
+        # held.  Pad to power-of-two buckets so at most 7 shapes ever
+        # compile (1, 2, 4, ..., 64); outputs depend on (request, bucket),
+        # both deterministic from the request itself.
+        G = len(styles)
+        bucket = 1
+        while bucket < G:
+            bucket *= 2
+        padded = styles + [styles[-1]] * (bucket - G)
         with self._lock:
-            result = self._sampler.generate(styles, num_bars=bars,
+            result = self._sampler.generate(padded, num_bars=bars,
                                             seed=int(seed),
                                             temperature=temperature)
         out = []
-        for i in range(result.notes.shape[0]):
+        for i in range(G):
             pattern = midi_encode(unclamp_midi(result.notes[i], cfg),
                                   config=cfg)
             buf = io.BytesIO()

@@ -169,9 +169,14 @@ class Trainer:
         # Whole-epoch on-device scan over a device-resident dataset when it
         # fits in HBM and we're not profiling per-step (both paths consume
         # identical batch streams — epoch_permutation is shared).
+        # Multi-process runs keep the streaming path: each host holds only
+        # its Dataset.shard, which shard_batch assembles into global batches
+        # via make_array_from_process_local_data — a per-host replicated
+        # device_put of different local data would be wrong.
         ds_arrays = (ds.notes, ds.targets, ds.beats, ds.styles)
         ds_bytes = sum(int(a.nbytes) for a in ds_arrays)
         use_scan = (tc.epoch_scan and not tc.profile
+                    and jax.process_count() == 1
                     and ds_bytes <= tc.epoch_scan_max_bytes)
 
         resident = None

@@ -101,6 +101,9 @@ def _histogram_proto(values) -> bytes:
     for display, so the exact limits only need to be well-formed."""
     import numpy as np   # deferred: scalar-only users stay numpy-free
     vals = np.asarray(values, dtype=np.float64).ravel()
+    # Diverged training produces NaN/inf params; the histogram must keep
+    # logging (so the run can report the divergence), never crash fit().
+    vals = vals[np.isfinite(vals)]
     n = int(vals.size)
     if n == 0:
         return (_field_double(1, 0.0) + _field_double(2, 0.0)

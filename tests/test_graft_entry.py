@@ -22,3 +22,9 @@ def test_dryrun_multichip_8():
     # generation); one bar of sequence keeps the suite fast — the driver's
     # call uses the full 8-bar seq_len.
     graft.dryrun_multichip(8, bars_per_seq=1)
+
+
+def test_dryrun_multichip_non_dividing_device_count():
+    # 6 devices don't divide 8: the batch must round to a 6-multiple (12)
+    # instead of failing the P("data") sharding.
+    graft.dryrun_multichip(6, bars_per_seq=1)

@@ -223,8 +223,11 @@ def test_dropout_site_ids_are_static():
     assert _site_id("tdrop1") == 16
     assert _site_id("nstyle0") == 23
     assert _site_id("ndrop1") == 32
-    with pytest.raises(KeyError):
-        _site_id("not_a_site")
+    # Beyond the pre-registered table (configs deeper than 8 layers/axis),
+    # IDs come from a stable content hash — still order-independent.
+    assert _site_id("tstyle11") == _site_id("tstyle11")
+    assert _site_id("tstyle11") >= 1000
+    assert _site_id("tstyle11") != _site_id("ndrop11")
 
 
 def test_dropout_site_ids_match_fresh_process():

@@ -216,7 +216,31 @@ def test_histogram_event_wire_format(tmp_path):
 
     h_empty = _parse_histo(_parse_value_fields(records[2])[4])
     assert h_empty["num"] == 0
-    h_const = _parse_histo(_parse_value_fields(records[3])[4])
+
+
+def test_histogram_survives_nonfinite(tmp_path):
+    """Diverged params (NaN/inf) must log as a degenerate histogram, not
+    crash fit() at epoch end (np.histogram raises on a NaN range)."""
+    w = SummaryWriter(str(tmp_path))
+    w.histogram("nan", np.array([np.nan, np.inf, -np.inf]), step=1)
+    w.histogram("mixed", np.array([1.0, np.nan, 2.0]), step=1)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    records = _read_records(files[0])
+    h_nan = _parse_histo(_parse_value_fields(records[1])[4])
+    assert h_nan["num"] == 0
+    h_mixed = _parse_histo(_parse_value_fields(records[2])[4])
+    assert h_mixed["num"] == 2
+    np.testing.assert_allclose(h_mixed["sum"], 3.0)
+
+
+def test_histogram_constant_values(tmp_path):
+    w = SummaryWriter(str(tmp_path))
+    w.histogram("constant", np.full(7, 1.25), step=4)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    records = _read_records(files[0])
+    h_const = _parse_histo(_parse_value_fields(records[1])[4])
     assert h_const["num"] == 7
     np.testing.assert_allclose(h_const["min"], 1.25)
     np.testing.assert_allclose(sum(h_const["buckets"]), 7)
