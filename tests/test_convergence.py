@@ -17,7 +17,7 @@ import pytest
 
 import jax
 
-from music_generator_tpu.config import test_config
+from music_generator_tpu.config import test_config as make_test_config
 from music_generator_tpu.data.dataset import load_all
 from music_generator_tpu.data.synth import (
     pitch_class_histogram,
@@ -36,7 +36,7 @@ def overfit_run(tmp_path_factory):
     """Fit a mid-capacity model on a 2-file single-style corpus to
     convergence (no dropout — we WANT memorization here).  ~80s on CPU."""
     root = tmp_path_factory.mktemp("synth_corpus")
-    cfg = test_config(batch_size=4, bars_per_seq=2,
+    cfg = make_test_config(batch_size=4, bars_per_seq=2,
                       dropout=0.0, input_dropout=0.0,
                       time_axis_units=64, note_axis_units=32,
                       octave_units=16, out_dir=str(root / "out"))

@@ -9,13 +9,13 @@ import pytest
 
 import jax
 
-from music_generator_tpu.config import test_config
+from music_generator_tpu.config import test_config as make_test_config
 from music_generator_tpu.models.deepj import DeepJ, feature_dim, init_params
 from music_generator_tpu.training.keras_import import load_keras_weights
 
 h5py = pytest.importorskip("h5py")
 
-CFG = test_config()
+CFG = make_test_config()
 
 
 def _write_keras_h5(path, params, cfg):
@@ -93,7 +93,7 @@ def test_import_rejects_wrong_architecture(tmp_path):
     path = str(tmp_path / "model.h5")
     _write_keras_h5(path, src, CFG)
     # A config with different dims must fail loudly, not import garbage.
-    bad_cfg = test_config(time_axis_units=32)
+    bad_cfg = make_test_config(time_axis_units=32)
     with pytest.raises(ValueError, match="kernel"):
         load_keras_weights(path, bad_cfg)
 

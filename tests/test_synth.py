@@ -6,7 +6,7 @@ import os
 
 import numpy as np
 
-from music_generator_tpu.config import test_config
+from music_generator_tpu.config import test_config as make_test_config
 from music_generator_tpu.data.dataset import load_all
 from music_generator_tpu.data.synth import (
     pitch_class_histogram,
@@ -14,7 +14,7 @@ from music_generator_tpu.data.synth import (
     write_synth_corpus,
 )
 
-CFG = test_config()
+CFG = make_test_config()
 
 
 def test_synth_piece_deterministic():
