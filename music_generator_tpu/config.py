@@ -134,11 +134,14 @@ class Config:
     # for the training/eval forward when applicable.
     fused_biax_v3: bool = True
     # Fuse the generation pitch loop (note-axis cells + heads + sampling)
-    # into one Pallas kernel; applies when lstm_kernel resolves to "pallas"
-    # and the generation batch is at most fused_gen_max_batch (above that
-    # the XLA scan pipelines the per-pitch matmuls better — measured in
-    # docs/PERFORMANCE.md).
-    fused_gen_kernel: bool = True
+    # into one Pallas kernel when the generation batch is at most
+    # fused_gen_max_batch.  OFF by default: the fused kernel's numerics
+    # diverge from the CPU oracle enough to flip sampled events on ~1/3 of
+    # trained-model seeds, while the default XLA path measured 32/32
+    # byte-identical (docs/FIDELITY.md).  Opt in for latency-sensitive
+    # serving where cross-backend identity doesn't matter (0.59 vs 0.96
+    # ms/timestep single-stream).
+    fused_gen_kernel: bool = False
     fused_gen_max_batch: int = 8
     # Backend-stable generation (the BASELINE.md byte-identity target: the
     # TPU chip's .mid output must match the framework's own CPU run at a

@@ -1,4 +1,4 @@
-"""Import reference (Keras 2 HDF5) checkpoints into this framework.
+"""Import/export reference (Keras 2 HDF5) checkpoints.
 
 The reference trains with Keras and checkpoints weights-only HDF5 to
 `out/model.h5` (ref: train.py:23, constants.py:82).  A user migrating from
@@ -48,6 +48,48 @@ def _decode(names) -> List[str]:
 def _layer_weights(group) -> List[np.ndarray]:
     names = _decode(group.attrs["weight_names"])
     return [np.asarray(group[n]) for n in names]
+
+
+def save_keras_weights(params: Params, path: str) -> None:
+    """Write Params as a reference-compatible Keras 2 weights HDF5
+    (the inverse of load_keras_weights): a model trained HERE can be taken
+    back to the reference codebase's `out/model.h5`."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        layers = []
+
+        def put(layer: str, names, arrays) -> None:
+            g = f.create_group(layer)
+            g.attrs["weight_names"] = np.array(
+                [f"{layer}/{n}:0".encode() for n in names])
+            for n, a in zip(names, arrays):
+                g.create_dataset(f"{layer}/{n}:0",
+                                 data=np.asarray(a, np.float32))
+            layers.append(layer.encode())
+
+        put("conv1d", ["kernel", "bias"],
+            [params.conv.kernel, params.conv.bias])
+        for l, t in enumerate(params.time_axis):
+            put(f"dense_{l + 1}", ["kernel", "bias"],
+                [t.style_proj.kernel, t.style_proj.bias])
+            put(f"lstm_{l + 1}", ["kernel", "recurrent_kernel", "bias"],
+                [t.lstm.kernel, t.lstm.recurrent, t.lstm.bias])
+        off = len(params.time_axis)
+        for l, nt in enumerate(params.note_axis):
+            put(f"dense_{off + l + 1}", ["kernel", "bias"],
+                [nt.style_proj.kernel, nt.style_proj.bias])
+            put(f"lstm_{off + l + 1}", ["kernel", "recurrent_kernel", "bias"],
+                [nt.lstm.kernel, nt.lstm.recurrent, nt.lstm.bias])
+        put("note_dense", ["kernel", "bias"],
+            [params.note_dense.kernel, params.note_dense.bias])
+        put("volume_dense", ["kernel", "bias"],
+            [params.volume_dense.kernel, params.volume_dense.bias])
+        put("style", ["kernel", "bias"],
+            [params.style_embed.kernel, params.style_embed.bias])
+        f.attrs["layer_names"] = np.array(layers)
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.1.6"
 
 
 def load_keras_weights(path: str, cfg: Config) -> Params:

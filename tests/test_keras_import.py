@@ -121,3 +121,15 @@ def test_import_supports_model_weights_subgroup(tmp_path):
     imported = load_keras_weights(outer, CFG)
     for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(imported)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_import_roundtrip(tmp_path):
+    """save_keras_weights -> load_keras_weights is leaf-exact (the reverse
+    migration path: take a model trained here back to the reference)."""
+    from music_generator_tpu.training.keras_import import save_keras_weights
+    src = init_params(jax.random.key(11), CFG)
+    path = str(tmp_path / "exported.h5")
+    save_keras_weights(src, path)
+    back = load_keras_weights(path, CFG)
+    for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

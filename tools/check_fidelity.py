@@ -10,7 +10,7 @@ produce <out>/cpu/, byte-compares every file, and writes <out>/FIDELITY.json.
 
 Variants on TPU:
   xla    — the lax.scan pitch loop (the same code path CPU uses)
-  fused  — the Pallas fused pitch-loop kernel (default TPU path for G<=8)
+  fused  — the Pallas fused pitch-loop kernel (opt-in)
 
 Run from /root/repo:  python tools/check_fidelity.py --out runs/fidelity
 """
