@@ -27,8 +27,8 @@ TARGET_GEN_MS_PER_STEP = 5.0
 
 def bench_train(cfg, args):
     import jax
-    import numpy as np
 
+    from music_generator_tpu.data.synth import random_batch
     from music_generator_tpu.models.deepj import DeepJ
     from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
     from music_generator_tpu.parallel.train_step import (
@@ -41,15 +41,8 @@ def bench_train(cfg, args):
     state, opt = create_train_state(model, seed=0)
     step = make_train_step(model, opt, mesh)
 
-    B, T, N = cfg.batch_size, cfg.seq_len, cfg.num_notes
-    rng = np.random.default_rng(0)
-    notes = (rng.random((B, T, N, 3)) < 0.1).astype(np.float32)
-    targets = np.roll(notes, -1, axis=1)
-    beats = np.zeros((B, T, cfg.notes_per_bar), np.float32)
-    beats[:, np.arange(T), np.arange(T) % cfg.notes_per_bar] = 1
-    styles = np.zeros((B, T, cfg.num_styles), np.float32)
-    styles[..., 0] = 1
-    batch = shard_batch(mesh, (notes, targets, beats, styles))
+    B, T = cfg.batch_size, cfg.seq_len
+    batch = shard_batch(mesh, random_batch(cfg, rolled_targets=True))
 
     for _ in range(args.warmup):
         state, metrics = step(state, batch)
@@ -85,10 +78,11 @@ def bench_generate(cfg, args, batch):
     sampler = Sampler(DeepJ(cfg), params)
     styles = [compute_genre(i % 3, cfg) for i in range(batch)]
 
-    bars = 8
+    bars = args.gen_bars
     r = sampler.generate(styles, num_bars=bars, seed=0)   # compile
     float(r.notes.sum())
-    reps = 3   # average out relay jitter; results reach host per call
+    reps = args.gen_reps   # average out relay jitter; results reach host
+                           # per call
     t0 = time.perf_counter()
     for i in range(reps):
         sampler.generate(styles, num_bars=bars, seed=1 + i)
@@ -115,6 +109,10 @@ def main(argv=None):
                              "64")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--gen-bars", type=int, default=8,
+                        help="bars per generation rep (timing window)")
+    parser.add_argument("--gen-reps", type=int, default=3,
+                        help="timed generation repetitions (relay jitter)")
     parser.add_argument("--kernel", type=str, default="auto",
                         choices=["auto", "pallas", "xla"])
     parser.add_argument("--mode", type=str, default="all",

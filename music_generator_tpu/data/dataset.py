@@ -111,9 +111,20 @@ class Dataset:
         return len(self.notes)
 
     def shard(self, index: int, count: int) -> "Dataset":
-        """Per-host shard for multi-host DP (no reference counterpart)."""
-        return Dataset(self.notes[index::count], self.targets[index::count],
-                       self.beats[index::count], self.styles[index::count])
+        """Per-host shard for multi-host DP (no reference counterpart).
+
+        Every shard is wrap-padded to the SAME length, ceil(n / count):
+        hosts must agree on batch sizing and steps-per-epoch, because every
+        train step is a global collective — a host with one fewer local row
+        would run one fewer step and desynchronize (then deadlock) the
+        cluster.  The pad wraps the interleaved index stream modulo n (at
+        most one duplicate row per host per epoch — noise next to shuffled
+        training)."""
+        n = len(self.notes)
+        want = -(-n // count) if n else 0
+        idx = (index + count * np.arange(want)) % max(n, 1)
+        return Dataset(self.notes[idx], self.targets[idx],
+                       self.beats[idx], self.styles[idx])
 
 
 def _load_style_files(files: Sequence[str], cfg: Config) -> List[np.ndarray]:

@@ -141,6 +141,33 @@ def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
     return paths
 
 
+def random_batch(cfg: Config, batch_size: Optional[int] = None, seed: int = 0,
+                 rolled_targets: bool = False) -> tuple:
+    """One seeded synthetic training batch (notes, targets, beats, styles)
+    with the model's input geometry — the single source for every synthetic
+    bench/dryrun batch (bench.py, __graft_entry__, tools/mp_worker.py,
+    tests/test_multiprocess.py), so the parity oracles stay byte-identical
+    by construction.
+
+    `rolled_targets=True` makes the target the one-step-shifted notes (the
+    training alignment, used by the throughput bench); otherwise targets are
+    an independent draw from the same stream (used by gradient-parity
+    checks, where target structure is irrelevant)."""
+    B = batch_size or cfg.batch_size
+    T, N = cfg.seq_len, cfg.num_notes
+    rng = np.random.default_rng(seed)
+    notes = (rng.random((B, T, N, 3)) < 0.1).astype(np.float32)
+    if rolled_targets:
+        targets = np.roll(notes, -1, axis=1)
+    else:
+        targets = (rng.random((B, T, N, 3)) < 0.1).astype(np.float32)
+    beats = np.zeros((B, T, cfg.notes_per_bar), np.float32)
+    beats[:, np.arange(T), np.arange(T) % cfg.notes_per_bar] = 1
+    styles = np.zeros((B, T, cfg.num_styles), np.float32)
+    styles[..., 0] = 1
+    return notes, targets, beats, styles
+
+
 def pitch_class_histogram(roll: np.ndarray) -> np.ndarray:
     """Normalized played-mass per pitch class of a [T, P, 3] roll (P = 128
     or num_notes with an offset baked in by the caller)."""

@@ -151,6 +151,9 @@ def make_handler(service: GenerationService):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > (1 << 20):     # 1 MB is plenty for 64 mixtures
+                    self._json(413, {"error": "request body too large"})
+                    return
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/generate_batch":
                     # {"mixtures": [[...], ...]} or {"styles_list": [[0,3],

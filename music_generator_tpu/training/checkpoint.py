@@ -53,6 +53,9 @@ def build_or_load(model: DeepJ, seed: int = 0,
     shape and the params subtree extracted."""
     cfg = model.cfg
     params = init_params(jax.random.key(seed), cfg)
+    # The reference prints model.summary() on every build (ref: util.py:16).
+    from music_generator_tpu.utils import param_summary
+    print(param_summary(params))
     if not allow_load:
         return params, False
     store = CheckpointStore(path or cfg.model_file)

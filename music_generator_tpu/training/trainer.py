@@ -118,6 +118,9 @@ class Trainer:
         self.tc = train_cfg or TrainConfig()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.state, self.optimizer = create_train_state(model, self.tc.seed)
+        # The reference prints model.summary() at startup (ref: util.py:16).
+        from music_generator_tpu.utils import param_summary
+        print(param_summary(self.state.params))
         self.train_step = make_train_step(model, self.optimizer, self.mesh)
         self.store = CheckpointStore(self.cfg.model_file) \
             if self.tc.checkpoint else None
@@ -140,6 +143,12 @@ class Trainer:
             return False
 
     def fit(self, ds: Dataset, epochs: Optional[int] = None) -> dict:
+        """Train to early-stop over `ds` (this host's shard in multi-process
+        runs).  Multi-process convention: `ds` is the LOCAL shard
+        (Dataset.shard pads all hosts to equal length, so every host runs
+        the same steps-per-epoch), cfg.batch_size is the PER-HOST feed, and
+        shard_batch assembles the global batch (batch_size x process_count
+        rows) that each collective train step consumes."""
         cfg, tc = self.cfg, self.tc
         epochs = epochs if epochs is not None else (tc.epochs or cfg.epochs)
         patience = tc.patience if tc.patience is not None \
@@ -150,11 +159,14 @@ class Trainer:
             raise ValueError("empty dataset — nothing to train on")
         if len(ds) < batch_size:
             batch_size = max(1, len(ds))
-        # P("data") on dim 0 requires divisibility by the mesh size: round
-        # the (possibly clamped) batch UP to a multiple of it — `batches`
+        # P("data") on dim 0 requires the GLOBAL batch to divide over the
+        # mesh.  batch_size here is the per-host feed, so it must be a
+        # multiple of the PER-HOST device count (n_dev / process_count);
+        # round the (possibly clamped) batch UP to that — `batches`
         # wrap-pads short epochs, so a tiny corpus still shards cleanly.
         n_dev = int(self.mesh.devices.size)
-        batch_size = -(-batch_size // n_dev) * n_dev
+        div = max(1, n_dev // jax.process_count())
+        batch_size = -(-batch_size // div) * div
 
         logger = MetricLogger(cfg.log_dir, tensorboard=tc.tensorboard)
         # Timesteps per global batch: the BASELINE metric counts piano-roll
@@ -164,7 +176,12 @@ class Trainer:
         rng = np.random.default_rng(tc.seed)
         best_loss = float("inf")
         bad_epochs = 0
-        history = {"loss": [], "epoch_seconds": []}
+        # batch_size is the ACTUAL per-step batch after the clamp/rounding
+        # above (it can differ from cfg.batch_size on tiny corpora or
+        # non-divisible meshes) — recorded so throughput reporting downstream
+        # (tools/run_convergence.py) uses the real geometry.
+        history = {"loss": [], "epoch_seconds": [], "steps_per_epoch": [],
+                   "batch_size": batch_size}
 
         # Whole-epoch on-device scan over a device-resident dataset when it
         # fits in HBM and we're not profiling per-step (both paths consume
@@ -203,6 +220,7 @@ class Trainer:
 
             epoch_loss = float(np.mean(epoch_losses))
             history["loss"].append(epoch_loss)
+            history["steps_per_epoch"].append(len(epoch_losses))
             dt = time.perf_counter() - t0
             history["epoch_seconds"].append(dt)
             rate = len(epoch_losses) * batch_size * ds.notes.shape[1] / dt
@@ -236,12 +254,19 @@ class Trainer:
         """One on-device epoch: a single jitted lax.scan gathering each
         batch from the HBM-resident dataset; returns the S per-step losses."""
         base_step = int(self.state.step)
+        t0 = time.perf_counter()
         self.state, metrics = self._epoch_step(self.state, resident, perm)
         host = {k: np.asarray(v) for k, v in metrics.items()}
         losses = host["loss"]
+        # One epoch = one device dispatch, so there is no per-step clock;
+        # log the epoch-average rate under the same key the streaming path
+        # uses so metrics.jsonl keeps one schema across both paths.
+        dt = time.perf_counter() - t0
+        rate = perm.size * resident[0].shape[1] / dt
         for k in range(self.tc.log_every - 1, len(losses), self.tc.log_every):
-            logger.log(base_step + k + 1,
-                       {name: float(vals[k]) for name, vals in host.items()})
+            row = {name: float(vals[k]) for name, vals in host.items()}
+            row["timesteps_per_sec"] = rate
+            logger.log(base_step + k + 1, row)
         return losses
 
     def _stream_epoch(self, ds: Dataset, batch_size: int, rng, epoch: int,
@@ -298,6 +323,12 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = make_eval_step(self.model, self.mesh)
         batch_size = batch_size or min(self.cfg.batch_size, max(1, len(ds)))
+        # Same mesh-divisibility rounding as fit(): the per-host batch must
+        # be a multiple of the per-host device count; `batches` wrap-pads
+        # short ones.
+        n_dev = int(self.mesh.devices.size)
+        div = max(1, n_dev // jax.process_count())
+        batch_size = -(-batch_size // div) * div
         rng = np.random.default_rng(0)
         sums: dict = {}
         count = 0

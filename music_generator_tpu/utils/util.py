@@ -15,6 +15,22 @@ def one_hot(i: int, nb_classes: int) -> np.ndarray:
     return arr
 
 
+def param_summary(params) -> str:
+    """Parameter-count table per top-level module plus the total — the
+    rebuild of the reference's `model.summary()` printout on every build
+    (ref: util.py:16)."""
+    import jax
+
+    groups: dict = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        head = jax.tree_util.keystr(path[:1]).strip(".[]'\"")
+        groups[head] = groups.get(head, 0) + int(np.prod(leaf.shape))
+    width = max(len(k) for k in list(groups) + ["total"])
+    lines = [f"{k:<{width}}  {v:>12,}" for k, v in groups.items()]
+    lines.append(f"{'total':<{width}}  {sum(groups.values()):>12,}")
+    return "\n".join(lines)
+
+
 def get_all_files(paths: Sequence[str]) -> List[str]:
     """Recursively collect .mid files under each path, in deterministic
     (sorted) order — the reference's os.walk order is filesystem-dependent

@@ -182,6 +182,40 @@ def test_dataset_shard():
     np.testing.assert_array_equal(s1.notes.ravel(), [1, 3, 5, 7])
 
 
+def test_dataset_shard_uneven_pads_to_equal_length():
+    """Uneven shards must wrap-pad to the SAME length: every train step is a
+    global collective, so a host with fewer local rows would run fewer steps
+    per epoch and deadlock the cluster."""
+    from music_generator_tpu.data.dataset import Dataset
+
+    def make(n):
+        return Dataset(np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1),
+                       np.zeros((n, 1, 1, 1), np.float32),
+                       np.zeros((n, 1, 1), np.float32),
+                       np.zeros((n, 1, 1), np.float32))
+
+    # 17 rows over 2 hosts: both get ceil(17/2) = 9.
+    ds = make(17)
+    s0, s1 = ds.shard(0, 2), ds.shard(1, 2)
+    assert len(s0) == len(s1) == 9
+    np.testing.assert_array_equal(s0.notes.ravel(),
+                                  [0, 2, 4, 6, 8, 10, 12, 14, 16])
+    # Host 1 wraps: its 9th row duplicates an existing global row.
+    np.testing.assert_array_equal(s1.notes.ravel()[:8],
+                                  [1, 3, 5, 7, 9, 11, 13, 15])
+    assert s1.notes.ravel()[8] in ds.notes.ravel()
+
+    # Fewer rows than hosts: every host still gets one row.
+    tiny = make(2)
+    shards = [tiny.shard(i, 4) for i in range(4)]
+    assert all(len(s) == 1 for s in shards)
+    for s in shards:
+        assert s.notes.ravel()[0] in tiny.notes.ravel()
+
+    # Empty stays empty.
+    assert len(make(0).shard(0, 2)) == 0
+
+
 def test_load_all_skips_corrupt_files(tmp_path):
     cfg = default_config().replace(out_dir=str(tmp_path / "out"))
     styles = _write_test_corpus(str(tmp_path), num_files=1, bars=10)

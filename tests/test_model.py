@@ -293,3 +293,14 @@ def test_biax_v3_train_gradients_flow():
     assert np.abs(np.asarray(g.note_dense.kernel)).sum() > 0
     assert np.abs(np.asarray(g.volume_dense.kernel)).sum() > 0
     assert np.abs(np.asarray(g.time_axis[0].style_proj.kernel)).sum() > 0
+
+
+def test_param_summary_counts_every_leaf(params):
+    """The model.summary() analogue (ref: util.py:16): the printed total
+    must equal the exact number of parameters in the pytree."""
+    from music_generator_tpu.utils import param_summary
+    s = param_summary(params)
+    total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    assert f"{total:,}" in s.splitlines()[-1]
+    assert s.splitlines()[-1].startswith("total")
+    assert len(s.splitlines()) >= 3          # at least a couple of modules

@@ -136,6 +136,26 @@ def test_load_midi_uses_native_and_caches(tmp_path, monkeypatch):
     np.testing.assert_array_equal(roll, roll2)
 
 
+def test_load_midi_invalidates_stale_cache(tmp_path, monkeypatch):
+    """Rewriting the source .mid must invalidate its .npy cache (deliberate
+    improvement over the reference, which serves stale decodes forever)."""
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import load_midi
+    cfg = default_config().replace(out_dir=str(tmp_path / "out"))
+    monkeypatch.chdir(tmp_path)
+    midi.write_midifile("z.mid", _random_pattern(1))
+    roll1 = load_midi("z.mid", cfg)
+    # Replace the source with a different piece, newer than the cache.
+    midi.write_midifile("z.mid", _random_pattern(2))
+    cache = os.path.join(cfg.cache_dir, "z.mid.npy")
+    past = os.path.getmtime("z.mid") - 10
+    os.utime(cache, (past, past))
+    roll2 = load_midi("z.mid", cfg)
+    expected = midi.midi_decode(midi.read_midifile("z.mid"), 128)
+    np.testing.assert_array_equal(roll2, expected)
+    assert roll1.shape != roll2.shape or not np.array_equal(roll1, roll2)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_native_decoder_survives_garbage(seed):
     """Adversarial robustness: random byte soup and bit-flipped valid files

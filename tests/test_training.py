@@ -2,6 +2,8 @@
 loss descent, Nadam parity with a hand-stepped oracle, checkpoint round-trip,
 and trainer early-stop semantics."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -210,6 +212,22 @@ def test_tiny_dataset_shards_on_full_mesh(tmp_path):
     history = trainer.fit(ds)
     assert len(history["loss"]) == 1
     assert np.isfinite(history["loss"][0])
+    # The actual geometry is recorded for downstream throughput reporting.
+    assert history["batch_size"] % 8 == 0
+    assert history["steps_per_epoch"] == [1]
+
+
+def test_evaluate_tiny_dataset_on_full_mesh(tmp_path):
+    """evaluate() must apply the same mesh-divisibility batch rounding as
+    fit(): 3 samples on an 8-device mesh round up and wrap-pad instead of
+    crashing shard_batch."""
+    cfg = small_config(batch_size=16, out_dir=str(tmp_path / "out"))
+    model = DeepJ(cfg)
+    ds = _synthetic_dataset(cfg, n=3)
+    trainer = Trainer(model, TrainConfig(tensorboard=False, checkpoint=False),
+                      mesh=make_mesh())
+    metrics = trainer.evaluate(ds)
+    assert np.isfinite(metrics["loss"])
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -284,12 +302,14 @@ def test_epoch_scan_matches_streaming_path(tmp_path):
     ds = _synthetic_dataset(cfg, n=8)
 
     t_scan = Trainer(model, TrainConfig(epochs=2, tensorboard=False,
-                                        checkpoint=False, epoch_scan=True),
+                                        checkpoint=False, epoch_scan=True,
+                                        log_every=1),
                      mesh=make_mesh(jax.devices()[:1]))
     h_scan = t_scan.fit(ds)
 
     t_stream = Trainer(model, TrainConfig(epochs=2, tensorboard=False,
-                                          checkpoint=False, epoch_scan=False),
+                                          checkpoint=False, epoch_scan=False,
+                                          log_every=1),
                        mesh=make_mesh(jax.devices()[:1]))
     h_stream = t_stream.fit(ds)
 
@@ -297,6 +317,17 @@ def test_epoch_scan_matches_streaming_path(tmp_path):
     for a, b in zip(jax.tree.leaves(t_scan.state.params),
                     jax.tree.leaves(t_stream.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # Both paths log one metrics.jsonl schema: every per-step row carries
+    # the loss components AND a timesteps_per_sec series.
+    import json as _json
+    with open(os.path.join(str(tmp_path / "a"), "logs",
+                           "metrics.jsonl")) as f:
+        rows = [_json.loads(line) for line in f]
+    step_rows = [r for r in rows if "train/loss" in r]
+    assert len(step_rows) == 8      # 2 steps/epoch x 2 epochs x 2 trainers
+    for r in step_rows:
+        assert "train/timesteps_per_sec" in r, r
 
 
 def test_epoch_scan_respects_memory_budget(tmp_path):

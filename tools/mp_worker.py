@@ -6,8 +6,14 @@ multi-host code paths — jax.distributed.initialize, per-process
 Dataset.shard, shard_batch's make_array_from_process_local_data branch, and
 the cross-process gradient all-reduce — which single-process tests cannot.
 
-Usage: mp_worker.py <process_id> <num_processes> <port> <out_json>
-Process 0 writes {"loss": ..., "param_sum": ...} to out_json.
+Usage: mp_worker.py <process_id> <num_processes> <port> <out_json> [mode]
+mode "step" (default): one train step on a hand-sharded batch; process 0
+writes {"loss": ..., "param_sum": ...} to out_json.
+mode "fit": the FULL Trainer.fit flow over an UNEVEN corpus (17 windows
+over 2 hosts) — the desync scenario: Dataset.shard must pad shards to equal
+length so both hosts run the same global collectives per epoch.  EVERY
+process writes {out_json}.{pid} with its loss history + param_sum, so the
+test can assert the hosts stayed in lockstep.
 """
 
 import json
@@ -17,9 +23,43 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_fit(pid: int, nproc: int, out: str) -> None:
+    import jax
+    import numpy as np
+
+    from music_generator_tpu.config import test_config
+    from music_generator_tpu.data.dataset import Dataset
+    from music_generator_tpu.data.synth import random_batch
+    from music_generator_tpu.models.deepj import DeepJ
+    from music_generator_tpu.training.trainer import TrainConfig, Trainer
+
+    # 17 global windows over 2 hosts: pre-padding host 0 held 9 rows and
+    # host 1 held 8, so host 0 ran one more (global, collective) step per
+    # epoch and the cluster deadlocked.  batch_size 4 -> each host feeds 4
+    # local rows/step (global batch 8 over 8 devices), 3 steps/epoch.
+    cfg = test_config(batch_size=4,
+                      out_dir=os.path.join(os.path.dirname(os.path.abspath(out))
+                                           or ".", f"out_mp_{pid}"))
+    model = DeepJ(cfg)
+    global_ds = Dataset(*random_batch(cfg, batch_size=17))
+    local = global_ds.shard(pid, nproc)
+    assert len(local) == -(-17 // nproc), len(local)
+
+    trainer = Trainer(model, TrainConfig(epochs=2, checkpoint=False,
+                                         tensorboard=False))
+    history = trainer.fit(local)
+    param_sum = float(sum(float(np.abs(x).sum())
+                          for x in jax.tree.leaves(trainer.state.params)))
+    with open(f"{out}.{pid}", "w") as f:
+        json.dump({"loss": history["loss"],
+                   "steps_per_epoch": history["steps_per_epoch"],
+                   "param_sum": param_sum}, f)
+
+
 def main():
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
 
@@ -31,10 +71,16 @@ def main():
     assert jax.device_count() == 4 * nproc, jax.device_count()
     assert jax.local_device_count() == 4
 
+    if mode == "fit":
+        run_fit(pid, nproc, out)
+        jax.distributed.shutdown()
+        return
+
     import numpy as np
 
     from music_generator_tpu.config import test_config
     from music_generator_tpu.data.dataset import Dataset
+    from music_generator_tpu.data.synth import random_batch
     from music_generator_tpu.models.deepj import DeepJ
     from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
     from music_generator_tpu.parallel.train_step import (
@@ -47,14 +93,8 @@ def main():
 
     # Identical global dataset on every process (seeded), then the per-host
     # shard — the documented multi-host flow (Dataset.shard -> local rows).
-    rng = np.random.default_rng(0)
-    B, T, N = cfg.batch_size, cfg.seq_len, cfg.num_notes
-    notes = (rng.random((B, T, N, 3)) < 0.1).astype(np.float32)
-    targets = (rng.random((B, T, N, 3)) < 0.1).astype(np.float32)
-    beats = np.zeros((B, T, cfg.notes_per_bar), np.float32)
-    beats[:, np.arange(T), np.arange(T) % cfg.notes_per_bar] = 1
-    styles = np.zeros((B, T, cfg.num_styles), np.float32)
-    styles[..., 0] = 1
+    B = cfg.batch_size
+    notes, targets, beats, styles = random_batch(cfg)
     global_ds = Dataset(notes, targets, beats, styles)
     # Contiguous per-process split: P("data") lays out the global batch in
     # device order, so process p owns rows [p*4, (p+1)*4).

@@ -78,9 +78,11 @@ def main(argv=None):
     train_s = time.time() - t0
     epochs_run = len(history["loss"])
     # Steady-state epoch throughput: median epoch wall time excluding
-    # epoch 0 (which pays the compile).
-    steps_per_epoch = -(-len(ds) // cfg.batch_size)
-    ts_per_epoch = steps_per_epoch * cfg.batch_size * cfg.seq_len
+    # epoch 0 (which pays the compile).  Geometry comes from the trainer's
+    # history — fit() may clamp/round the batch on tiny or mesh-indivisible
+    # corpora, and the report must count what actually ran.
+    ts_per_epoch = (history["steps_per_epoch"][0] * history["batch_size"]
+                    * cfg.seq_len)
     steady = sorted(history["epoch_seconds"][1:]) or history["epoch_seconds"]
     median_epoch_s = steady[len(steady) // 2]
 
