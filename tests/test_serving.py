@@ -65,6 +65,19 @@ def test_generate_deterministic(server):
     assert a != c
 
 
+def test_generate_rejects_oversized_body(server):
+    """Bodies over the 1 MB cap 413 from the Content-Length header alone —
+    before any of the body is read into memory (raw socket: the client
+    never has to finish sending for the rejection to arrive)."""
+    import socket
+    host, port = server.rsplit("//", 1)[1].split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(b"POST /generate HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Length: 9999999\r\n\r\n")
+        resp = s.recv(4096)
+    assert b"413" in resp.split(b"\r\n", 1)[0]
+
+
 def test_generate_rejects_bad_requests(server):
     for payload in [{"styles": [99]}, {"genre": 7},
                     {"mixture": [1.0, 2.0]}]:
