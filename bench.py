@@ -94,7 +94,8 @@ def bench_generate(cfg, args, batch):
     return {
         "metric": "generate_ms_per_timestep",
         "value": round(ms_per_step, 3),
-        "unit": f"ms/timestep ({batch} parallel generations)",
+        "unit": f"ms/timestep ({batch} parallel generations, "
+                f"{bars} bars/rep)",
         "vs_baseline": round(TARGET_GEN_MS_PER_STEP / ms_per_step, 3),
     }
 
@@ -109,8 +110,12 @@ def main(argv=None):
                              "64")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
-    parser.add_argument("--gen-bars", type=int, default=8,
-                        help="bars per generation rep (timing window)")
+    parser.add_argument("--gen-bars", type=int, default=16,
+                        help="bars per generation rep: long enough that "
+                             "per-call dispatch overhead (significant "
+                             "through this box's TPU relay) amortizes to "
+                             "the steady-state per-timestep cost "
+                             "(docs/PERFORMANCE.md streaming table)")
     parser.add_argument("--gen-reps", type=int, default=3,
                         help="timed generation repetitions (relay jitter)")
     parser.add_argument("--kernel", type=str, default="auto",

@@ -119,10 +119,15 @@ def synth_piece(style_id: int, bars: int = 16, seed: int = 0,
 
 def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
                        files_per_style: int = 3, bars: int = 16,
-                       seed: int = 0,
+                       seed: int = 0, shift: int = 0,
                        config: Optional[Config] = None) -> list:
     """Write a .mid corpus under `root` using the config's style-directory
-    taxonomy (so load_all() consumes it unchanged).  Returns written paths."""
+    taxonomy (so load_all() consumes it unchanged).  Returns written paths.
+
+    `shift` transposes every piece by that many semitones through the SAME
+    transform training augmentation uses (dataset.transpose_augment), for
+    pitch-invariance evaluation corpora (tools/run_augment_study.py)."""
+    from music_generator_tpu.data.dataset import transpose_augment
     from music_generator_tpu.midi.codec import midi_encode
     from music_generator_tpu.midi.io import write_midifile
 
@@ -135,6 +140,7 @@ def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
         os.makedirs(d, exist_ok=True)
         for i in range(files_per_style):
             roll = synth_piece(style_id, bars=bars, seed=seed + i, config=cfg)
+            roll = transpose_augment(roll, shift)
             path = os.path.join(d, f"synth_{style_id}_{i}.mid")
             write_midifile(path, midi_encode(roll, step=1, config=cfg))
             paths.append(path)

@@ -562,6 +562,20 @@ def primary_loss(y_true: jax.Array,
     `played*pred + (1-played)*true` (ref: model.py:18-19).  BCE clips
     probabilities at 1e-7 like keras.backend.binary_crossentropy.
     """
+    bce_note, bce_replay, mse = _loss_terms(y_true, y_pred)
+    total = jnp.mean(bce_note + bce_replay + mse)
+    metrics = {
+        "loss": total,
+        "bce_play": jnp.mean(bce_note),
+        "bce_replay": jnp.mean(bce_replay),
+        "mse_volume": jnp.mean(mse),
+    }
+    return total, metrics
+
+
+def _loss_terms(y_true: jax.Array, y_pred: jax.Array):
+    """Elementwise [..., T, N] loss terms shared by the scalar training loss
+    and the per-sample evaluation metrics."""
     played = y_true[..., 0]
 
     def bce(t, p):
@@ -573,15 +587,22 @@ def primary_loss(y_true: jax.Array,
     bce_replay = bce(y_true[..., 1], replay_masked)
     vol_masked = played * y_pred[..., 2] + (1 - played) * y_true[..., 2]
     mse = jnp.square(y_true[..., 2] - vol_masked)
+    return bce_note, bce_replay, mse
 
-    total = jnp.mean(bce_note + bce_replay + mse)
-    metrics = {
-        "loss": total,
-        "bce_play": jnp.mean(bce_note),
-        "bce_replay": jnp.mean(bce_replay),
-        "mse_volume": jnp.mean(mse),
+
+def per_sample_loss(y_true: jax.Array,
+                    y_pred: jax.Array) -> Dict[str, jax.Array]:
+    """primary_loss's metrics reduced per batch row ([B] vectors instead of
+    scalars), so evaluation can weight out wrap-padded duplicate rows —
+    the scalar loss equals the plain mean of the per-sample values."""
+    bce_note, bce_replay, mse = _loss_terms(y_true, y_pred)
+    axes = tuple(range(1, bce_note.ndim))
+    return {
+        "loss": jnp.mean(bce_note + bce_replay + mse, axis=axes),
+        "bce_play": jnp.mean(bce_note, axis=axes),
+        "bce_replay": jnp.mean(bce_replay, axis=axes),
+        "mse_volume": jnp.mean(mse, axis=axes),
     }
-    return total, metrics
 
 
 def _sub(rng: Optional[jax.Array], name: str) -> Optional[jax.Array]:

@@ -156,16 +156,28 @@ def make_epoch_step(model: DeepJ, optimizer: optax.GradientTransformation,
 
 
 def make_eval_step(model: DeepJ, mesh: Mesh, axis_name: str = "data") -> Callable:
-    """Deterministic (no-dropout) loss over a sharded batch."""
+    """Deterministic (no-dropout) PER-SAMPLE metrics over a sharded batch:
+    (params, batch) → {name: [B]}.  Per-sample (not batch-mean) so the
+    caller can weight out wrap-padded duplicate rows exactly
+    (trainer.evaluate) — a batch-mean over padding would bias small or
+    mesh-indivisible datasets."""
+    from music_generator_tpu.models.deepj import per_sample_loss
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
 
     def eval_fn(params: Params, batch):
-        _, metrics = model.loss(params, batch, rng=None, train=False)
-        return metrics
+        notes, targets, beats, styles = batch
+        preds = model.forward(params, notes, targets, beats, styles,
+                              rng=None, train=False)
+        return per_sample_loss(targets, preds)
 
+    # Outputs replicated: the [B] metric vectors are tiny, and every process
+    # must be able to materialize them (multi-process hosts only address
+    # their own shards of `data`-sharded outputs).
     return jax.jit(
         eval_fn,
         in_shardings=(jax.tree.map(lambda _: repl, _params_struct(model)),
                       (data, data, data, data)),
+        out_shardings=repl,
     )

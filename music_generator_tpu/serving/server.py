@@ -128,6 +128,10 @@ class GenerationService:
 
 def make_handler(service: GenerationService):
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout for request reads (incl. the bounded 413 drain):
+        # a stalled client must not pin a handler thread forever.
+        timeout = 120
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -151,8 +155,23 @@ def make_handler(service: GenerationService):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length > (1 << 20):     # 1 MB is plenty for 64 mixtures
+                # 1 MB is plenty for 64 mixtures; a negative length must
+                # not fall through to read(-1) (= read-to-EOF, an
+                # unbounded blocking read).
+                if not 0 <= length <= (1 << 20):
                     self._json(413, {"error": "request body too large"})
+                    # Drain a bounded amount so a mid-send client reads the
+                    # 413 instead of a connection reset; give up past 8 MB.
+                    try:
+                        remaining = min(max(length, 0), 8 << 20)
+                        while remaining > 0:
+                            chunk = self.rfile.read(min(65536, remaining))
+                            if not chunk:
+                                break
+                            remaining -= len(chunk)
+                    except OSError:
+                        pass
+                    self.close_connection = True
                     return
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/generate_batch":

@@ -319,23 +319,40 @@ class Trainer:
     def evaluate(self, ds: Dataset, batch_size: Optional[int] = None) -> dict:
         """Deterministic (no-dropout) metrics over a dataset — a capability
         extension; the reference monitors train loss only (ref: train.py:23).
-        """
+
+        Exact mean over the dataset: fixed-shape batches require padding
+        when len(ds) doesn't divide, so the eval step returns PER-SAMPLE
+        metrics and the pad rows get weight zero (a batch-mean over padded
+        duplicates would overweight them — e.g. 5 of 8 rows on a 3-sample
+        dataset over an 8-device mesh)."""
+        if len(ds) == 0:
+            raise ValueError("empty dataset — nothing to evaluate")
         if self._eval_step is None:
             self._eval_step = make_eval_step(self.model, self.mesh)
         batch_size = batch_size or min(self.cfg.batch_size, max(1, len(ds)))
         # Same mesh-divisibility rounding as fit(): the per-host batch must
-        # be a multiple of the per-host device count; `batches` wrap-pads
-        # short ones.
+        # be a multiple of the per-host device count.
         n_dev = int(self.mesh.devices.size)
         div = max(1, n_dev // jax.process_count())
         batch_size = -(-batch_size // div) * div
-        rng = np.random.default_rng(0)
+
+        n = len(ds)
+        padded = -(-n // batch_size) * batch_size
+        idx = np.concatenate([np.arange(n), np.zeros(padded - n, np.int64)])
+        weight = np.concatenate([np.ones(n), np.zeros(padded - n)])
+        # Multi-process: `ds` is the local shard; the eval step returns
+        # per-sample metrics for the GLOBAL batch (process-major row order,
+        # every host padded identically since Dataset.shard equalizes shard
+        # lengths), so the weight vector tiles across processes.
+        nproc = jax.process_count()
         sums: dict = {}
-        count = 0
-        for batch in batches(ds, batch_size, rng=rng, drop_remainder=False):
+        for s in range(padded // batch_size):
+            sel = idx[s * batch_size:(s + 1) * batch_size]
+            w = np.tile(weight[s * batch_size:(s + 1) * batch_size], nproc)
+            batch = (ds.notes[sel], ds.targets[sel], ds.beats[sel],
+                     ds.styles[sel])
             metrics = self._eval_step(self.state.params,
                                       shard_batch(self.mesh, batch))
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        return {k: v / max(1, count) for k, v in sums.items()}
+                sums[k] = sums.get(k, 0.0) + float(np.asarray(v) @ w)
+        return {k: v / (n * nproc) for k, v in sums.items()}

@@ -94,3 +94,6 @@ def test_two_process_trainer_fit_uneven_corpus(tmp_path):
     np.testing.assert_allclose(h0["loss"], h1["loss"], rtol=1e-6)
     np.testing.assert_allclose(h0["param_sum"], h1["param_sum"], rtol=1e-6)
     assert len(h0["loss"]) == 2 and np.isfinite(h0["loss"]).all()
+    # Cross-process evaluate agrees too (global per-sample weighting).
+    np.testing.assert_allclose(h0["eval_loss"], h1["eval_loss"], rtol=1e-6)
+    assert np.isfinite(h0["eval_loss"])

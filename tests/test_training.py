@@ -219,8 +219,9 @@ def test_tiny_dataset_shards_on_full_mesh(tmp_path):
 
 def test_evaluate_tiny_dataset_on_full_mesh(tmp_path):
     """evaluate() must apply the same mesh-divisibility batch rounding as
-    fit(): 3 samples on an 8-device mesh round up and wrap-pad instead of
-    crashing shard_batch."""
+    fit() (3 samples on an 8-device mesh round up instead of crashing
+    shard_batch) AND stay EXACT: the pad rows carry weight zero, so the
+    result equals the plain unsharded full-batch loss."""
     cfg = small_config(batch_size=16, out_dir=str(tmp_path / "out"))
     model = DeepJ(cfg)
     ds = _synthetic_dataset(cfg, n=3)
@@ -228,6 +229,14 @@ def test_evaluate_tiny_dataset_on_full_mesh(tmp_path):
                       mesh=make_mesh())
     metrics = trainer.evaluate(ds)
     assert np.isfinite(metrics["loss"])
+
+    oracle, oracle_metrics = model.loss(
+        trainer.state.params, (ds.notes, ds.targets, ds.beats, ds.styles),
+        rng=None, train=False)
+    np.testing.assert_allclose(metrics["loss"], float(oracle), rtol=1e-5)
+    for k in ("bce_play", "bce_replay", "mse_volume"):
+        np.testing.assert_allclose(metrics[k], float(oracle_metrics[k]),
+                                   rtol=1e-5)
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -50,9 +50,13 @@ def run_fit(pid: int, nproc: int, out: str) -> None:
     history = trainer.fit(local)
     param_sum = float(sum(float(np.abs(x).sum())
                           for x in jax.tree.leaves(trainer.state.params)))
+    # Cross-process evaluate: a global collective over both hosts' shards —
+    # every host must compute the identical global mean.
+    eval_loss = trainer.evaluate(local)["loss"]
     with open(f"{out}.{pid}", "w") as f:
         json.dump({"loss": history["loss"],
                    "steps_per_epoch": history["steps_per_epoch"],
+                   "eval_loss": eval_loss,
                    "param_sum": param_sum}, f)
 
 

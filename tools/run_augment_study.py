@@ -6,12 +6,20 @@ raw pieces only, ref: dataset.py:39-76).
 Trains the flagship geometry twice on the same synthetic corpus — once
 plain, once with `Config.transpose_augment` adding ±k-semitone copies of
 every piece (data/dataset.py::transpose_augment) — then evaluates BOTH
-models on held-out corpora transposed by -1/0/+1 semitones.  The claim
-under test: augmentation buys invariance (the augmented model's eval loss
-on shifted music stays near its clean loss; the baseline's blows up).
+models on TWO eval families, each at -1/0/+1 semitone shifts (the same
+transform the augmentation uses):
 
-Artifacts in <run_dir>/report.json: both loss histories + the full
-(model x shift) eval-loss matrix.  Run from /root/repo (no PYTHONPATH):
+  * "train" family — the training pieces themselves, shifted.  Holding the
+    music fixed isolates PITCH INVARIANCE: a model that merely memorized
+    the training keys degrades the moment the same music moves a semitone.
+  * "heldout" family — pieces with disjoint seeds (same styles), shifted.
+    Measures generalization to new music; on a tiny corpus this is
+    dominated by memorization, so read it alongside, not instead of, the
+    invariance matrix.
+
+Artifacts in <run_dir>/report.json: both loss histories + the
+(model x family x shift) eval-loss matrices.  Run from /root/repo
+(no PYTHONPATH):
   python tools/run_augment_study.py --run-dir runs/augment
 """
 
@@ -23,31 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def write_shifted_corpus(root, shift, styles, files_per_style, bars, cfg):
-    """The synth corpus with every piece transposed by `shift` semitones
-    (written through the normal encode path, so eval data passes the whole
-    load pipeline)."""
-    import numpy as np
-
-    from music_generator_tpu.data.synth import synth_piece
-    from music_generator_tpu.midi.codec import midi_encode
-    from music_generator_tpu.midi.io import write_midifile
-
-    for sid in styles:
-        d = os.path.join(root, cfg.flat_styles[sid])
-        os.makedirs(d, exist_ok=True)
-        for i in range(files_per_style):
-            roll = synth_piece(sid, bars=bars, seed=i, config=cfg)
-            out = np.zeros_like(roll)
-            if shift > 0:
-                out[:, shift:] = roll[:, :-shift]
-            elif shift < 0:
-                out[:, :shift] = roll[:, -shift:]
-            else:
-                out = roll
-            write_midifile(os.path.join(d, f"synth_{sid}_{i}.mid"),
-                           midi_encode(out, step=1, config=cfg))
+# Disjoint from the training pieces' seeds (0..files_per_style-1): the eval
+# corpora are held-out MUSIC, not transposed copies of the train set.
+EVAL_SEED = 100
 
 
 def main(argv=None):
@@ -70,6 +56,7 @@ def main(argv=None):
 
     from music_generator_tpu.config import default_config
     from music_generator_tpu.data.dataset import load_all
+    from music_generator_tpu.data.synth import write_synth_corpus
     from music_generator_tpu.models.deepj import DeepJ
     from music_generator_tpu.training.trainer import TrainConfig, Trainer
 
@@ -77,16 +64,20 @@ def main(argv=None):
     run_dir = os.path.abspath(args.run_dir)
     base_cfg = default_config()
 
-    # --- corpora: one per training variant + one per eval shift ----------
+    # --- corpora: the training set + both eval families per shift --------
     train_root = os.path.join(run_dir, "corpus")
-    write_shifted_corpus(train_root, 0, args.styles, args.files_per_style,
-                         args.bars, base_cfg)
+    write_synth_corpus(train_root, styles=args.styles,
+                       files_per_style=args.files_per_style, bars=args.bars,
+                       config=base_cfg)
     eval_roots = {}
-    for shift in (-1, 0, 1):
-        root = os.path.join(run_dir, f"eval_shift{shift:+d}")
-        write_shifted_corpus(root, shift, args.styles, args.files_per_style,
-                             args.bars, base_cfg)
-        eval_roots[shift] = root
+    for family, seed in (("train", 0), ("heldout", EVAL_SEED)):
+        for shift in (-1, 0, 1):
+            root = os.path.join(run_dir, f"eval_{family}_shift{shift:+d}")
+            write_synth_corpus(root, styles=args.styles,
+                               files_per_style=args.files_per_style,
+                               bars=args.bars, seed=seed, shift=shift,
+                               config=base_cfg)
+            eval_roots[(family, shift)] = root
 
     # --- train both variants on the SAME corpus --------------------------
     results = {}
@@ -114,16 +105,16 @@ def main(argv=None):
         print(f"[{name}] loss {history['loss'][0]:.4f} -> "
               f"{min(history['loss']):.4f} in {len(history['loss'])} epochs")
 
-    # --- the (model x shift) eval matrix ----------------------------------
-    matrix = {name: {} for name in trainers}
-    for shift, root in eval_roots.items():
+    # --- the (model x family x shift) eval matrices -----------------------
+    matrix = {name: {"train": {}, "heldout": {}} for name in trainers}
+    for (family, shift), root in sorted(eval_roots.items()):
         os.chdir(root)
         ds_eval = load_all(config=base_cfg.replace(
             out_dir=os.path.join(root, "out")))
         for name, trainer in trainers.items():
             loss = trainer.evaluate(ds_eval)["loss"]
-            matrix[name][f"shift{shift:+d}"] = loss
-            print(f"[{name}] eval shift{shift:+d}: loss={loss:.4f}")
+            matrix[name][family][f"shift{shift:+d}"] = loss
+            print(f"[{name}] eval {family} shift{shift:+d}: loss={loss:.4f}")
 
     report = {
         "backend": jax.default_backend(),
