@@ -17,9 +17,9 @@ def apply_temperature(prob: jax.Array, temperature: jax.Array) -> jax.Array:
 
 def bernoulli(key: jax.Array, prob: jax.Array) -> jax.Array:
     """Bernoulli draw matching the reference's host convention
-    `np.random.random() <= prob` (ref: generate.py:52,57): the draw fires
-    when uniform <= p, so p=0 can still fire with probability ~0 only if
-    uniform==0 — we use strict `<` on (1-p) to keep p=0 → never, p=1 →
-    always, exactly."""
+    `np.random.random() <= prob` (ref: generate.py:52,57).  Inclusive <=,
+    like the reference: p=1 always fires (uniform < 1 by construction);
+    p=0 fires only on the measure-zero uniform==0 draw — identical to the
+    reference's semantics with np.random.random()."""
     u = jax.random.uniform(key, prob.shape)
     return (u <= prob).astype(jnp.float32)
