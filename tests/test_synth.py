@@ -61,3 +61,28 @@ def test_corpus_loads_through_pipeline(tmp_path, monkeypatch):
     assert ds.notes.shape[1:] == (cfg.seq_len, cfg.num_notes, 3)
     # Style one-hots point at the right directories.
     assert set(np.argmax(ds.styles[:, 0], axis=-1)) == {0, 1}
+
+
+def test_random_batch_is_deterministic_and_shaped():
+    """random_batch feeds the driver-facing bench/dryrun parity checks —
+    its draws must be a stable function of (cfg, seed)."""
+    import numpy as np
+
+    from music_generator_tpu.config import test_config
+    from music_generator_tpu.data.synth import random_batch
+
+    cfg = test_config(batch_size=3)
+    a = random_batch(cfg)
+    b = random_batch(cfg)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    notes, targets, beats, styles = a
+    assert notes.shape == (3, cfg.seq_len, cfg.num_notes, 3)
+    assert beats.shape == (3, cfg.seq_len, cfg.notes_per_bar)
+    assert styles.shape == (3, cfg.seq_len, cfg.num_styles)
+    # Independent-target mode differs from the notes; rolled mode shifts.
+    assert not np.array_equal(targets, notes)
+    rolled = random_batch(cfg, rolled_targets=True)
+    np.testing.assert_array_equal(rolled[1], np.roll(rolled[0], -1, axis=1))
+    # And the two modes share the identical notes draw.
+    np.testing.assert_array_equal(rolled[0], notes)
