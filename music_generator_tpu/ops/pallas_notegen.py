@@ -53,6 +53,13 @@ def _kernel(feats_ref, u_ref, temp_ref,
     inv_temp = (1.0 / temp_ref[:].astype(f32))          # [G, 1]
 
     def sigmoid(x):
+        # f32 (the fidelity-discipline default): the SAME lax.logistic the
+        # XLA path's jax.nn.sigmoid lowers to, so the kernel's probability
+        # math tracks the certified path bit-for-bit where possible.  bf16
+        # keeps the tanh identity (jax.nn.sigmoid fails Mosaic lowering
+        # for bf16 — docs/PERFORMANCE.md kernel findings).
+        if x.dtype == jnp.float32:
+            return jax.nn.sigmoid(x)
         return 0.5 * jnp.tanh(0.5 * x) + 0.5
 
     def cell(z, h_s, c_s, u_ref):
