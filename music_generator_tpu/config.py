@@ -135,12 +135,13 @@ class Config:
     fused_biax_v3: bool = True
     # Fuse the generation pitch loop (note-axis cells + heads + sampling)
     # into one Pallas kernel when the generation batch is at most
-    # fused_gen_max_batch.  OFF by default: the fused kernel's numerics
-    # diverge from the CPU oracle enough to flip sampled events on ~1/3 of
-    # trained-model seeds, while the default XLA path measured 32/32
-    # byte-identical (docs/FIDELITY.md).  Opt in for latency-sensitive
-    # serving where cross-backend identity doesn't matter (0.59 vs 0.96
-    # ms/timestep single-stream).
+    # fused_gen_max_batch.  Since the kernel adopted the XLA path's
+    # lax.logistic sigmoid it adds no divergence of its own (trained
+    # checkpoints certify 32/32 byte-identical on BOTH paths —
+    # docs/FIDELITY.md).  Still OFF by default: the default path runs the
+    # SAME scan algorithm as the CPU oracle by construction, the cleanest
+    # cross-backend contract; opt in for latency-sensitive serving
+    # (0.46 vs 0.62 ms/timestep single-stream at 32 bars).
     fused_gen_kernel: bool = False
     fused_gen_max_batch: int = 8
     # Backend-stable generation (the BASELINE.md byte-identity target: the

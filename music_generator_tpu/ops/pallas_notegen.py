@@ -17,7 +17,7 @@ where `a0 = s0 @ W0 + b0` is computed once per timestep outside (it is
 constant across pitches).  Same for layer 1 with `a1 = s1 @ W1 + b1`.
 
 Sampling math matches ops/sampling.py exactly (clip → inverse sigmoid →
-scale by 1/T → sigmoid; draw fires when uniform <= p), in float32.
+divide by T → sigmoid; draw fires when uniform <= p), in float32.
 
 No backward pass: generation never differentiates.
 """
@@ -50,17 +50,16 @@ def _kernel(feats_ref, u_ref, temp_ref,
     c1_s[:] = jnp.zeros_like(c1_s)
     chosen_s[:] = jnp.zeros_like(chosen_s)
 
-    inv_temp = (1.0 / temp_ref[:].astype(f32))          # [G, 1]
+    temp = temp_ref[:].astype(f32)                      # [G, 1]
 
     def sigmoid(x):
-        # f32 (the fidelity-discipline default): the SAME lax.logistic the
-        # XLA path's jax.nn.sigmoid lowers to, so the kernel's probability
-        # math tracks the certified path bit-for-bit where possible.  bf16
-        # keeps the tanh identity (jax.nn.sigmoid fails Mosaic lowering
-        # for bf16 — docs/PERFORMANCE.md kernel findings).
-        if x.dtype == jnp.float32:
-            return jax.nn.sigmoid(x)
-        return 0.5 * jnp.tanh(0.5 * x) + 0.5
+        # Gate/head math in this kernel is float32 regardless of cdt (the
+        # dots cast INPUTS to cdt but accumulate f32), so use the SAME
+        # lax.logistic the XLA path's jax.nn.sigmoid lowers to — this is
+        # what makes the kernel's probability math track the certified
+        # path bit-for-bit (docs/FIDELITY.md; was the tanh identity, which
+        # cost 2-11 knife-edge mismatches per 32-piece suite).
+        return jax.nn.sigmoid(x)
 
     def cell(z, h_s, c_s, u_ref):
         z = z + jnp.dot(h_s[:].astype(cdt), u_ref[:],
@@ -95,10 +94,13 @@ def _kernel(feats_ref, u_ref, temp_ref,
                        preferred_element_type=f32)
                + bvd_ref[:].astype(f32))                # [G, 1]
 
-        # Temperature re-scaling of sigmoid probs (ops/sampling.py).
+        # Temperature re-scaling of sigmoid probs — the DIVISION form, like
+        # ops/sampling.py::apply_temperature: logit * (1/T) rounds twice
+        # and diverges bitwise from the XLA path whenever T != 1 (adaptive
+        # temperature bumps T even on default runs).
         p = jnp.clip(pr, 1e-7, 1.0 - 1e-7)
         logit = -jnp.log(1.0 / p - 1.0)
-        p = sigmoid(logit * inv_temp)
+        p = sigmoid(logit / temp)
 
         u_n = u_ref[n].astype(f32)                      # [G, 2]
         play = (u_n[:, 0:1] <= p[:, 0:1]).astype(f32)

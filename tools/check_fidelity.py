@@ -46,7 +46,8 @@ def _params_from_npz(model, path):
     return jax.tree_util.tree_unflatten(leaves_kv[1], leaves)
 
 
-def generate_suite(out_dir: str, variant: str, params_npz: str) -> None:
+def generate_suite(out_dir: str, variant: str, params_npz: str,
+                   temperature: float = 1.0) -> None:
     """Generate the seed/style matrix into out_dir with the given kernel
     variant ('xla' or 'fused')."""
     import jax
@@ -87,7 +88,8 @@ def generate_suite(out_dir: str, variant: str, params_npz: str) -> None:
         for tag, styles in (("solo", [one_hot(0, cfg.num_styles)]),
                             ("genres", [compute_genre(g, cfg)
                                         for g in range(3)])):
-            result = sampler.generate(styles, num_bars=BARS, seed=seed)
+            result = sampler.generate(styles, num_bars=BARS, seed=seed,
+                                      temperature=temperature)
             for i in range(result.notes.shape[0]):
                 mf = midi_encode(unclamp_midi(result.notes[i], cfg),
                                  config=cfg)
@@ -108,6 +110,11 @@ def compare_dirs(a: str, b: str) -> dict:
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="runs/fidelity")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="sampling temperature for the whole suite — "
+                             "certify at non-default temperatures too (the "
+                             "adaptive state machine makes T a first-class "
+                             "part of the sampling math)")
     parser.add_argument("--phase", default="main",
                         choices=["main", "cpu-child"])
     args = parser.parse_args(argv)
@@ -115,11 +122,12 @@ def main(argv=None):
     os.makedirs(out, exist_ok=True)
     params_npz = os.path.join(out, "params.npz")
 
+    temp = args.temperature
     if args.phase == "cpu-child":
         import jax
         jax.config.update("jax_platforms", "cpu")
         assert jax.default_backend() == "cpu"
-        generate_suite(os.path.join(out, "cpu"), "xla", params_npz)
+        generate_suite(os.path.join(out, "cpu"), "xla", params_npz, temp)
         return
 
     from music_generator_tpu.utils.compile_cache import enable
@@ -127,21 +135,24 @@ def main(argv=None):
     import jax
     backend = jax.default_backend()
     print("primary backend:", backend)
-    generate_suite(os.path.join(out, f"{backend}-xla"), "xla", params_npz)
+    generate_suite(os.path.join(out, f"{backend}-xla"), "xla", params_npz,
+                   temp)
     if backend == "tpu":
         generate_suite(os.path.join(out, f"{backend}-fused"), "fused",
-                       params_npz)
+                       params_npz, temp)
         generate_suite(os.path.join(out, f"{backend}-bf16"), "bf16",
-                       params_npz)
+                       params_npz, temp)
 
     # CPU oracle in a child process (the backend can't change in-process).
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run([sys.executable, os.path.abspath(__file__),
-                    "--out", out, "--phase", "cpu-child"],
+                    "--out", out, "--phase", "cpu-child",
+                    "--temperature", str(temp)],
                    check=True, env=env, cwd=os.path.dirname(
                        os.path.dirname(os.path.abspath(__file__))))
 
-    report = {"backend": backend, "seeds": list(SEEDS), "bars": BARS}
+    report = {"backend": backend, "seeds": list(SEEDS), "bars": BARS,
+              "temperature": temp}
     report["xla_vs_cpu"] = compare_dirs(
         os.path.join(out, f"{backend}-xla"), os.path.join(out, "cpu"))
     if backend == "tpu":

@@ -17,9 +17,10 @@ Checks, at flagship default_config dims, batch 16:
 Run on the TPU box:  python tools/tpu_validate_biax.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -27,7 +28,6 @@ def main():
     enable()
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from music_generator_tpu.config import default_config
@@ -75,18 +75,34 @@ def main():
     ga = jax.tree.leaves(results["fused-bf16"][1])
     gb = jax.tree.leaves(results["xla-bf16"][1])
     worst = (1.0, None)
+    worst_mag = (0.0, None)
     for path_leaf, a, b in zip(
             jax.tree_util.tree_flatten_with_path(results["fused-bf16"][1])[0],
             ga, gb):
+        name = jax.tree_util.keystr(path_leaf[0])
         a = np.asarray(a, np.float64).ravel()
         b = np.asarray(b, np.float64).ravel()
-        denom = np.linalg.norm(a) * np.linalg.norm(b)
-        cos = float(a @ b / denom) if denom > 0 else 1.0
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0.0 or nb == 0.0:
+            # A zero gradient only matches a zero gradient — a fused leaf
+            # silently zeroed by a lowering bug must NOT score cos=1.
+            cos = 1.0 if (na == 0.0 and nb == 0.0) else 0.0
+        else:
+            cos = float(a @ b / (na * nb))
         if cos < worst[0]:
-            worst = (cos, jax.tree_util.keystr(path_leaf[0]))
+            worst = (cos, name)
+        # Relative error in magnitude: catches right-direction/wrong-scale
+        # bugs (e.g. a dropped factor in the fused backward).
+        mag = float(np.linalg.norm(a - b) / nb) if nb > 0 else \
+            (0.0 if na == 0.0 else np.inf)
+        if mag > worst_mag[0]:
+            worst_mag = (mag, name)
     print(f"grad cosine similarity (worst leaf): {worst[0]:.5f} "
           f"at {worst[1]}")
+    print(f"grad relative error ||a-b||/||b|| (worst leaf): "
+          f"{worst_mag[0]:.3e} at {worst_mag[1]}")
     assert worst[0] > 0.98, worst
+    assert worst_mag[0] < 0.15, worst_mag
 
     # --- 3. one real train step each -------------------------------------
     from music_generator_tpu.parallel.mesh import make_mesh, shard_batch
