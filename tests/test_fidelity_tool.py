@@ -1,0 +1,49 @@
+"""CI coverage for tools/check_fidelity.py's plumbing — the npz
+params round-trip and the byte comparison — so the certification tool
+(the fidelity release workflow, docs/FIDELITY.md) can't silently rot.
+The TPU-vs-CPU generation matrix itself runs on hardware, not here."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.check_fidelity import (  # noqa: E402
+    _params_from_npz,
+    _params_to_npz,
+    compare_dirs,
+)
+
+
+def test_params_npz_roundtrip_is_exact(tmp_path):
+    from music_generator_tpu.config import test_config
+    from music_generator_tpu.models.deepj import DeepJ, init_params
+
+    cfg = test_config()
+    params = init_params(jax.random.key(3), cfg)
+    path = str(tmp_path / "params.npz")
+    _params_to_npz(params, path)
+    restored = _params_from_npz(DeepJ(cfg), path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compare_dirs_detects_byte_differences(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for d in (a, b):
+        (d / "same.mid").write_bytes(b"\x00\x01\x02")
+    (a / "diff.mid").write_bytes(b"\x00\x01\x02\x03")
+    (b / "diff.mid").write_bytes(b"\x00\x01\x02\x04")   # one byte off
+    r = compare_dirs(str(a), str(b))
+    assert r["files"] == 2
+    assert r["mismatches"] == ["diff.mid"]
+    assert not r["identical"]
+
+    (a / "diff.mid").write_bytes(b"\x00\x01\x02\x04")
+    r = compare_dirs(str(a), str(b))
+    assert r["identical"] and r["mismatches"] == []
