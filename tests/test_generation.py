@@ -222,10 +222,15 @@ def test_fused_gen_kernel_matches_scan_interpret():
     feats, _ = model_x.time_axis_step(
         params, jnp.zeros((2, CFG.num_notes, 3)),
         jnp.zeros((2, CFG.notes_per_bar)), emb, model_x.init_time_state(2))
-    temp = jnp.ones((2,))
     rng = jax.random.key(21)
-
-    ref = s_x._note_scan(params, feats, emb, temp, rng)
-    with pltpu.force_tpu_interpret_mode():
-        fused = s_f._note_scan(params, feats, emb, temp, rng)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=1e-4)
+    # Both T=1 and a tempered run: the kernel must apply the same
+    # division-form temperature math as apply_temperature (the hardware
+    # byte-identity certification at --temperature 0.9 is the exact pin;
+    # docs/FIDELITY.md).
+    for t in (1.0, 0.9):
+        temp = jnp.full((2,), t)
+        ref = s_x._note_scan(params, feats, emb, temp, rng)
+        with pltpu.force_tpu_interpret_mode():
+            fused = s_f._note_scan(params, feats, emb, temp, rng)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                                   atol=1e-4)
