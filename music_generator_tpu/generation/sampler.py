@@ -101,9 +101,12 @@ class Sampler:
                 and G <= cfg.fused_gen_max_batch):
             # The whole pitch loop (2 LSTM layers + heads + temperature +
             # Bernoulli compares) as ONE Pallas invocation.  Wins for small
-            # generation batches (0.63 vs 0.77 ms/step single-stream); at
-            # large G the XLA scan pipelines the per-pitch matmuls better
-            # (1.77 vs 2.57 ms at G=64), so it keeps the big-batch path.
+            # generation batches (0.46 vs 0.62 ms/step single-stream at 32
+            # bars, f32 discipline); at G=64 the two paths measure within
+            # noise of each other under f32 (2.17 vs 2.22 ms — the old
+            # XLA-wins-at-large-G gap was bf16-only), so the gate simply
+            # keeps the fused kernel where it has something to win
+            # (docs/PERFORMANCE.md).
             from music_generator_tpu.ops.pallas_notegen import (
                 pallas_note_sample)
             return pallas_note_sample(

@@ -48,8 +48,10 @@ def _params_from_npz(model, path):
 
 def generate_suite(out_dir: str, variant: str, params_npz: str,
                    temperature: float = 1.0) -> None:
-    """Generate the seed/style matrix into out_dir with the given kernel
-    variant ('xla' or 'fused')."""
+    """Generate the seed/style matrix into out_dir with the given variant:
+    'xla' (the default scan path), 'fused' (the Pallas pitch-loop kernel),
+    or 'bf16' (the no-discipline control: bf16 compute, default matmul
+    precision)."""
     import jax
     import numpy as np
 
