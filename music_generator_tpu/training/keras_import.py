@@ -3,22 +3,54 @@
 The reference trains with Keras and checkpoints weights-only HDF5 to
 `out/model.h5` (ref: train.py:23, constants.py:82).  A user migrating from
 the reference brings such a file; this module maps it onto the framework's
-params pytree so their trained model keeps working.
+params pytree so their trained model keeps working.  The reverse direction
+(`save_keras_weights`) emits a file the reference's own
+`model.load_weights(MODEL_FILE)` (ref: util.py:19) accepts.
 
-Keras 2 `save_weights` layout: root attrs `layer_names` (build order) and
-per-layer groups whose `weight_names` attr lists dataset paths like
-`b"lstm_1/lstm_1/kernel:0"`.  The reference's graph builds layers in a
-fixed order (ref: model.py:51-169):
+Genuine Keras 2 `save_weights` layout for the reference graph
+---------------------------------------------------------------
+Root attrs `layer_names` list EVERY layer of the training model (weightless
+Dropout/Lambda/... included) in `Model.layers` order; each has a group with
+a `weight_names` attr (empty for weightless layers) whose entries are the
+dataset paths inside the group.
 
-  conv1d                      → params.conv                 [W, in, out] + b
-  dense_*  (time l0, time l1) → time_axis[l].style_proj     (in build order)
-  lstm_*   (time l0, time l1) → time_axis[l].lstm
-  dense_*  (note l0, note l1) → note_axis[l].style_proj
-  lstm_*   (note l0, note l1) → note_axis[l].lstm
-  note_dense / volume_dense   → the output heads (explicitly named,
-                                ref: model.py:94-95)
-  style                       → params.style_embed (explicitly named,
-                                ref: model.py:141)
+Two facts about that layout that a naive importer gets wrong:
+
+1. **Groups are named after the wrapper, not the inner layer.**  The
+   reference wraps its Conv1D and all four LSTMs in `TimeDistributed`
+   (ref: model.py:56,84,122), and Keras names the saved group after the
+   *wrapper* (`time_distributed_4`); only the weight names inside the group
+   carry the inner layer's name (`lstm_1/kernel:0`).  Some Keras 2 point
+   releases scope the variables under the wrapper instead
+   (`time_distributed_4/kernel:0` — no inner-layer token at all), so this
+   importer classifies groups by the weight names inside them AND by weight
+   shapes (3 arrays with a [H,4H] recurrent kernel = LSTM; a rank-3 kernel
+   = conv), never by the group name.
+
+2. **`Model.layers` is depth-sorted, not creation-sorted.**  Keras orders
+   layers by decreasing graph depth (longest path to the output), breaking
+   ties by discovery order of the output-to-input traversal.  For the
+   reference graph (ref: model.py:128-151) the weighted layers come out as
+
+       style,                                  (ref: model.py:141)
+       time_distributed_1  (conv1d_1),         (ref: model.py:56)
+       dense_1, dense_2,                       (time-axis style projections)
+       time_distributed_4  (lstm_1),           (time-axis LSTMs)
+       time_distributed_6  (lstm_2),
+       dense_3, dense_4,                       (note-axis style projections)
+       time_distributed_8  (lstm_3),           (note-axis LSTMs)
+       time_distributed_10 (lstm_4),
+       note_dense, volume_dense                (ref: model.py:94-95)
+
+   — note `style` FIRST (it sits deeper than the conv because its longest
+   consumer path runs through the time-axis layer-0 style projection) and
+   the style-projection denses BEFORE the LSTMs of the same block (the
+   style path is shorter, so the denses sit deeper).  Reference-side
+   `load_weights` matches weighted groups to weighted layers positionally,
+   so `save_keras_weights` must reproduce exactly this order; the loader
+   here also relies on it to assign the four unnamed denses / four LSTMs to
+   time layer 0/1 then note layer 0/1 (every kernel shape is additionally
+   validated against `cfg`, so a misassignment fails loudly).
 
 Keras LSTM gate order is i, f, c(g), o — identical to ops/pallas_lstm's
 `_gate_slices` — and kernels are stored [in, 4H] / recurrent [H, 4H], so
@@ -27,7 +59,8 @@ weights drop in without transposes.
 
 from __future__ import annotations
 
-from typing import List
+import re
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -40,63 +73,195 @@ from music_generator_tpu.models.deepj import (
 )
 from music_generator_tpu.ops.lstm import LSTMParams
 
+# The reference training model's Model.layers, in Keras depth order (see
+# module docstring).  Entries are (group_name, kind) where kind is None for
+# weightless layers; weighted kinds name the Params leaf the group carries.
+REFERENCE_LAYER_TABLE = (
+    ("input_1", None), ("input_3", None),
+    ("dropout_1", None), ("style", "style"),
+    ("time_distributed_1", "conv"), ("input_2", None), ("dense_1", "dense"),
+    ("activation_1", None), ("dropout_2", None), ("time_distributed_3", None),
+    ("lambda_1", None), ("lambda_2", None), ("lambda_3", None),
+    ("dropout_4", None), ("time_distributed_2", None), ("activation_2", None),
+    ("concatenate_1", None), ("dropout_5", None), ("dense_2", "dense"),
+    ("permute_1", None), ("permute_2", None), ("time_distributed_5", None),
+    ("add_1", None), ("activation_3", None),
+    ("time_distributed_4", "lstm"), ("dropout_7", None),
+    ("dropout_6", None), ("permute_3", None),
+    ("add_2", None), ("input_4", None),
+    ("time_distributed_6", "lstm"), ("dropout_3", None), ("dense_3", "dense"),
+    ("dropout_8", None), ("lambda_4", None), ("time_distributed_7", None),
+    ("permute_4", None), ("reshape_1", None), ("activation_4", None),
+    ("concatenate_2", None), ("dropout_9", None), ("dense_4", "dense"),
+    ("add_3", None), ("time_distributed_9", None),
+    ("time_distributed_8", "lstm"), ("activation_5", None),
+    ("dropout_10", None), ("dropout_11", None),
+    ("add_4", None),
+    ("time_distributed_10", "lstm"),
+    ("dropout_12", None),
+    ("note_dense", "note_dense"), ("volume_dense", "volume_dense"),
+    ("concatenate_3", None),
+)
+
+# Inner-layer names for the weighted wrapper groups, in the same order the
+# weighted rows appear above (used by the exporter's weight names).
+_INNER_NAMES = {
+    "time_distributed_1": "conv1d_1",
+    "time_distributed_4": "lstm_1",
+    "time_distributed_6": "lstm_2",
+    "time_distributed_8": "lstm_3",
+    "time_distributed_10": "lstm_4",
+    "dense_1": "dense_1", "dense_2": "dense_2",
+    "dense_3": "dense_3", "dense_4": "dense_4",
+    "style": "style", "note_dense": "note_dense",
+    "volume_dense": "volume_dense",
+}
+
 
 def _decode(names) -> List[str]:
     return [n.decode() if isinstance(n, bytes) else str(n) for n in names]
 
 
-def _layer_weights(group) -> List[np.ndarray]:
-    names = _decode(group.attrs["weight_names"])
-    return [np.asarray(group[n]) for n in names]
-
-
 def save_keras_weights(params: Params, path: str) -> None:
-    """Write Params as a reference-compatible Keras 2 weights HDF5
+    """Write Params as a genuine reference-layout Keras 2 weights HDF5
     (the inverse of load_keras_weights): a model trained HERE can be taken
-    back to the reference codebase's `out/model.h5`."""
+    back to the reference codebase's `out/model.h5` and loaded by its
+    positional `model.load_weights` (ref: util.py:19)."""
     import h5py
 
+    leaf = {
+        "style": ("style", [params.style_embed.kernel,
+                            params.style_embed.bias]),
+        "time_distributed_1": ("conv1d_1", [params.conv.kernel,
+                                            params.conv.bias]),
+        "dense_1": ("dense_1", [params.time_axis[0].style_proj.kernel,
+                                params.time_axis[0].style_proj.bias]),
+        "dense_2": ("dense_2", [params.time_axis[1].style_proj.kernel,
+                                params.time_axis[1].style_proj.bias]),
+        "time_distributed_4": ("lstm_1", [params.time_axis[0].lstm.kernel,
+                                          params.time_axis[0].lstm.recurrent,
+                                          params.time_axis[0].lstm.bias]),
+        "time_distributed_6": ("lstm_2", [params.time_axis[1].lstm.kernel,
+                                          params.time_axis[1].lstm.recurrent,
+                                          params.time_axis[1].lstm.bias]),
+        "dense_3": ("dense_3", [params.note_axis[0].style_proj.kernel,
+                                params.note_axis[0].style_proj.bias]),
+        "dense_4": ("dense_4", [params.note_axis[1].style_proj.kernel,
+                                params.note_axis[1].style_proj.bias]),
+        "time_distributed_8": ("lstm_3", [params.note_axis[0].lstm.kernel,
+                                          params.note_axis[0].lstm.recurrent,
+                                          params.note_axis[0].lstm.bias]),
+        "time_distributed_10": ("lstm_4", [params.note_axis[1].lstm.kernel,
+                                           params.note_axis[1].lstm.recurrent,
+                                           params.note_axis[1].lstm.bias]),
+        "note_dense": ("note_dense", [params.note_dense.kernel,
+                                      params.note_dense.bias]),
+        "volume_dense": ("volume_dense", [params.volume_dense.kernel,
+                                          params.volume_dense.bias]),
+    }
+    part_names = {2: ("kernel", "bias"),
+                  3: ("kernel", "recurrent_kernel", "bias")}
+
     with h5py.File(path, "w") as f:
-        layers = []
-
-        def put(layer: str, names, arrays) -> None:
-            g = f.create_group(layer)
-            g.attrs["weight_names"] = np.array(
-                [f"{layer}/{n}:0".encode() for n in names])
+        for group_name, kind in REFERENCE_LAYER_TABLE:
+            g = f.create_group(group_name)
+            if kind is None:
+                # Keras writes weightless layers as groups with an empty
+                # weight_names attr; loaders filter them out.
+                g.attrs["weight_names"] = np.array([], dtype="S1")
+                continue
+            inner, arrays = leaf[group_name]
+            names = [f"{inner}/{p}:0" for p in part_names[len(arrays)]]
+            g.attrs["weight_names"] = np.array([n.encode() for n in names])
             for n, a in zip(names, arrays):
-                g.create_dataset(f"{layer}/{n}:0",
-                                 data=np.asarray(a, np.float32))
-            layers.append(layer.encode())
-
-        put("conv1d", ["kernel", "bias"],
-            [params.conv.kernel, params.conv.bias])
-        for l, t in enumerate(params.time_axis):
-            put(f"dense_{l + 1}", ["kernel", "bias"],
-                [t.style_proj.kernel, t.style_proj.bias])
-            put(f"lstm_{l + 1}", ["kernel", "recurrent_kernel", "bias"],
-                [t.lstm.kernel, t.lstm.recurrent, t.lstm.bias])
-        off = len(params.time_axis)
-        for l, nt in enumerate(params.note_axis):
-            put(f"dense_{off + l + 1}", ["kernel", "bias"],
-                [nt.style_proj.kernel, nt.style_proj.bias])
-            put(f"lstm_{off + l + 1}", ["kernel", "recurrent_kernel", "bias"],
-                [nt.lstm.kernel, nt.lstm.recurrent, nt.lstm.bias])
-        put("note_dense", ["kernel", "bias"],
-            [params.note_dense.kernel, params.note_dense.bias])
-        put("volume_dense", ["kernel", "bias"],
-            [params.volume_dense.kernel, params.volume_dense.bias])
-        put("style", ["kernel", "bias"],
-            [params.style_embed.kernel, params.style_embed.bias])
-        f.attrs["layer_names"] = np.array(layers)
+                g.create_dataset(n, data=np.asarray(a, np.float32))
+        f.attrs["layer_names"] = np.array(
+            [name.encode() for name, _ in REFERENCE_LAYER_TABLE])
         f.attrs["backend"] = b"tensorflow"
         f.attrs["keras_version"] = b"2.1.6"
+
+
+_LSTM_PART = {"kernel": 0, "recurrent_kernel": 1, "bias": 2}
+
+
+def _classify(group_name: str, weight_names: Sequence[str],
+              arrays: Sequence[np.ndarray]) -> Optional[str]:
+    """Classify a weighted group by the weight names inside it, falling
+    back to weight shapes for Keras variants whose variables are scoped
+    under the wrapper name only.  Returns one of
+    'style' | 'note_dense' | 'volume_dense' | 'conv' | 'lstm' | 'dense'
+    or None when unrecognizable."""
+    tokens = set()
+    for wn in weight_names:
+        for comp in wn.split("/"):
+            tokens.add(comp.split(":")[0])
+    tokens.add(group_name)
+
+    for named in ("note_dense", "volume_dense", "style"):
+        if named in tokens:
+            return named
+    stripped = {re.sub(r"_\d+$", "", t) for t in tokens}
+    if "conv1d" in stripped:
+        return "conv"
+    if "lstm" in stripped:
+        return "lstm"
+    if "dense" in stripped:
+        return "dense"
+
+    # Shape sniffing (wrapper-scoped names carry no inner-layer token).
+    if len(arrays) == 3 and arrays[0].ndim == 2 and arrays[1].ndim == 2 \
+            and arrays[2].ndim == 1 \
+            and arrays[0].shape[1] == arrays[1].shape[1] \
+            and arrays[1].shape[1] == 4 * arrays[1].shape[0]:
+        return "lstm"
+    if len(arrays) == 2 and arrays[0].ndim == 3 and arrays[1].ndim == 1:
+        return "conv"
+    if len(arrays) == 2 and arrays[0].ndim == 2 and arrays[1].ndim == 1:
+        return "dense"
+    return None
+
+
+def _order_parts(weight_names: Sequence[str], arrays: Sequence[np.ndarray],
+                 part_index) -> List[np.ndarray]:
+    """Order a group's arrays as [kernel, (recurrent_kernel,) bias] using
+    weight-name basenames when they are recognizable, else keep file order
+    (Keras saves layer.weights order, which already matches)."""
+    roles = []
+    for wn in weight_names:
+        base = wn.split("/")[-1].split(":")[0]
+        roles.append(part_index.get(base))
+    if sorted(r for r in roles if r is not None) == list(range(len(arrays))):
+        out: List[np.ndarray] = [None] * len(arrays)  # type: ignore
+        for role, a in zip(roles, arrays):
+            out[role] = a
+        return out
+    return list(arrays)
+
+
+def _shared_identity(weight_names: Sequence[str]) -> Optional[str]:
+    """Inner-layer identity token ('lstm_3', 'dense_2', ...) used to dedupe
+    groups that carry the same shared layer twice (the reference shares the
+    note-axis Dense/LSTM layers between its training and generation graphs
+    via caches, ref: model.py:92-93,110,119 — a checkpoint saved from a
+    graph that includes both calls lists the layer once per wrapper)."""
+    for wn in weight_names:
+        for comp in wn.split("/"):
+            comp = comp.split(":")[0]
+            if re.fullmatch(r"(lstm|dense|conv1d)_\d+", comp):
+                return comp
+    return None
 
 
 def load_keras_weights(path: str, cfg: Config) -> Params:
     """Read a reference `model.h5` (Keras 2 weights-only HDF5) into Params.
 
-    Raises ValueError when the file's layer inventory doesn't match the
-    DeepJ architecture for `cfg` (wrong dims fail loudly, not silently).
+    Accepts the genuine Keras layout (TimeDistributed wrapper groups with
+    inner-layer weight names — see module docstring), the wrapper-scoped
+    variant (no inner token; classified by shape), bare-layer layouts such
+    as the one this module's own pre-r3 exporter wrote, and `save_model`
+    files (everything nested under 'model_weights').  Raises ValueError
+    when the file's layer inventory doesn't match the DeepJ architecture
+    for `cfg` (wrong dims fail loudly, not silently).
     """
     import h5py
 
@@ -106,19 +271,31 @@ def load_keras_weights(path: str, cfg: Config) -> Params:
 
         convs, denses, lstms = [], [], []
         named = {}
+        seen_shared = set()
         for name in layer_names:
             group = root[name]
-            weights = _layer_weights(group)
-            if not weights:
+            weight_names = _decode(group.attrs["weight_names"])
+            if not len(weight_names):
                 continue                      # Input/Dropout/Lambda layers
-            if name in ("style", "note_dense", "volume_dense"):
-                named[name] = weights
-            elif name.startswith("conv1d"):
-                convs.append(weights)
-            elif name.startswith("dense"):
-                denses.append(weights)
-            elif name.startswith("lstm"):
-                lstms.append(weights)
+            arrays = [np.asarray(group[n]) for n in weight_names]
+            ident = _shared_identity(weight_names)
+            if ident is not None:
+                if ident in seen_shared:
+                    continue                  # shared layer saved twice
+                seen_shared.add(ident)
+            kind = _classify(name, weight_names, arrays)
+            if kind in ("style", "note_dense", "volume_dense"):
+                named[kind] = _order_parts(
+                    weight_names, arrays, {"kernel": 0, "bias": 1})
+            elif kind == "conv":
+                convs.append(_order_parts(
+                    weight_names, arrays, {"kernel": 0, "bias": 1}))
+            elif kind == "lstm":
+                lstms.append(_order_parts(weight_names, arrays, _LSTM_PART))
+            elif kind == "dense":
+                denses.append(_order_parts(
+                    weight_names, arrays, {"kernel": 0, "bias": 1}))
+            # else: unrecognizable group — fall through to the count check
 
         missing = {"style", "note_dense", "volume_dense"} - set(named)
         if missing or len(convs) != 1 or len(denses) != 4 or len(lstms) != 4:
@@ -149,6 +326,9 @@ def load_keras_weights(path: str, cfg: Config) -> Params:
         time_in = [f_dim, cfg.time_axis_units]
         note_in = [cfg.time_axis_units + cfg.note_units, cfg.note_axis_units]
 
+        # Keras depth order puts the unnamed groups in module order (see
+        # docstring): denses = time 0, time 1, note 0, note 1; same for the
+        # LSTMs.  Shapes are validated, so a reordered file fails loudly.
         time_axis = tuple(
             AxisLayer(
                 style_proj=dense(denses[l], cfg.style_units, time_in[l],

@@ -1,8 +1,25 @@
-"""Keras 2 HDF5 weight import (the migration path for users of the
-reference): build a weights file in the exact `save_weights` layout the
-reference produces (root `layer_names` attr in graph-build order, per-layer
-`weight_names` attrs — ref: train.py:23 ModelCheckpoint save_weights_only),
-import it, and verify values land on the right params leaves."""
+"""Keras 2 HDF5 weight interop (the migration path for users of the
+reference, ref: train.py:23 ModelCheckpoint save_weights_only).
+
+The fixtures here are written by a standalone emulation of GENUINE Keras 2
+`save_weights` output for the reference graph (ref: model.py:128-151), kept
+deliberately independent of training/keras_import.py's exporter:
+
+* groups are named after the layers in `Model.layers` — for the wrapped
+  Conv1D and LSTMs that is the `TimeDistributed` wrapper's name
+  (`time_distributed_N`, ref: model.py:56,84,122), NOT the inner layer;
+* weight names inside a wrapper group carry the inner layer's scope
+  (`lstm_1/kernel:0`) — or, in some Keras 2 point releases, the wrapper's
+  scope with no inner token at all (`time_distributed_4/kernel:0`);
+* `layer_names` lists every layer (weightless Dropout/Lambda/... included)
+  in Keras's depth order: style first, then conv, the style-projection
+  denses ahead of their LSTMs, heads last.
+
+Round 2's fixture wrote bare `conv1d`/`lstm_N` groups — the same wrong
+assumption the loader made, so the tests were circular and a real
+reference file was rejected (VERDICT r2).  The bare layout is kept below
+only as a legacy case (files exported by the pre-r3 writer must still
+load)."""
 
 import numpy as np
 import pytest
@@ -10,69 +27,151 @@ import pytest
 import jax
 
 from music_generator_tpu.config import test_config as make_test_config
-from music_generator_tpu.models.deepj import DeepJ, feature_dim, init_params
-from music_generator_tpu.training.keras_import import load_keras_weights
+from music_generator_tpu.models.deepj import DeepJ, init_params
+from music_generator_tpu.training.keras_import import (
+    load_keras_weights,
+    save_keras_weights,
+)
 
 h5py = pytest.importorskip("h5py")
 
 CFG = make_test_config()
 
 
-def _write_keras_h5(path, params, cfg):
-    """Emulate Keras 2 save_weights for the reference's build order
-    (ref: model.py:51-169): conv1d, then per time layer (dense, lstm), per
-    note layer (dense, lstm), the named heads, and the named 'style'
-    embedding — interleaved with weightless layers (Dropout/Lambda) that
-    Keras also lists."""
-    def put(f, layer, names, arrays):
-        g = f.create_group(layer)
-        g.attrs["weight_names"] = np.array(
-            [f"{layer}/{n}:0".encode() for n in names])
-        for n, a in zip(names, arrays):
-            g.create_dataset(f"{layer}/{n}:0", data=np.asarray(a))
+def _params_rows(params):
+    """(group, inner_layer, [arrays]) for the 12 weighted layers, in the
+    depth order genuine Keras 2 saves the reference training model."""
+    t0, t1 = params.time_axis
+    n0, n1 = params.note_axis
+    return [
+        ("style", "style",
+         [params.style_embed.kernel, params.style_embed.bias]),
+        ("time_distributed_1", "conv1d_1",
+         [params.conv.kernel, params.conv.bias]),
+        ("dense_1", "dense_1", [t0.style_proj.kernel, t0.style_proj.bias]),
+        ("dense_2", "dense_2", [t1.style_proj.kernel, t1.style_proj.bias]),
+        ("time_distributed_4", "lstm_1",
+         [t0.lstm.kernel, t0.lstm.recurrent, t0.lstm.bias]),
+        ("time_distributed_6", "lstm_2",
+         [t1.lstm.kernel, t1.lstm.recurrent, t1.lstm.bias]),
+        ("dense_3", "dense_3", [n0.style_proj.kernel, n0.style_proj.bias]),
+        ("dense_4", "dense_4", [n1.style_proj.kernel, n1.style_proj.bias]),
+        ("time_distributed_8", "lstm_3",
+         [n0.lstm.kernel, n0.lstm.recurrent, n0.lstm.bias]),
+        ("time_distributed_10", "lstm_4",
+         [n1.lstm.kernel, n1.lstm.recurrent, n1.lstm.bias]),
+        ("note_dense", "note_dense",
+         [params.note_dense.kernel, params.note_dense.bias]),
+        ("volume_dense", "volume_dense",
+         [params.volume_dense.kernel, params.volume_dense.bias]),
+    ]
 
+
+# Full Model.layers inventory in Keras depth order (weightless included),
+# independently derived from ref model.py:128-151 — see
+# training/keras_import.py's module docstring for the derivation.
+GENUINE_LAYER_NAMES = [
+    "input_1", "input_3", "dropout_1", "style",
+    "time_distributed_1", "input_2", "dense_1",
+    "activation_1", "dropout_2", "time_distributed_3",
+    "lambda_1", "lambda_2", "lambda_3", "dropout_4", "time_distributed_2",
+    "activation_2", "concatenate_1", "dropout_5", "dense_2",
+    "permute_1", "permute_2", "time_distributed_5", "add_1", "activation_3",
+    "time_distributed_4", "dropout_7", "dropout_6", "permute_3",
+    "add_2", "input_4", "time_distributed_6", "dropout_3", "dense_3",
+    "dropout_8", "lambda_4", "time_distributed_7",
+    "permute_4", "reshape_1", "activation_4",
+    "concatenate_2", "dropout_9", "dense_4", "add_3", "time_distributed_9",
+    "time_distributed_8", "activation_5", "dropout_10", "dropout_11",
+    "add_4", "time_distributed_10", "dropout_12",
+    "note_dense", "volume_dense", "concatenate_3",
+]
+
+_PARTS = {2: ("kernel", "bias"), 3: ("kernel", "recurrent_kernel", "bias")}
+
+
+def _write_genuine_keras_h5(path, params, naming="inner"):
+    """Emulate true Keras 2 save_weights output.
+
+    naming='inner'   -> weight names scoped by the inner layer
+                        ("lstm_1/kernel:0"; the common Keras 2 layout)
+    naming='wrapper' -> scoped by the wrapper only
+                        ("time_distributed_4/kernel:0"; no inner token —
+                        forces the importer onto shape classification)
+    naming='nested'  -> both scopes ("time_distributed_4/lstm_1/kernel:0";
+                        late Keras 2.2 wrappers)
+    """
+    rows = {g: (inner, arrays) for g, inner, arrays in _params_rows(params)}
+    with h5py.File(path, "w") as f:
+        for layer in GENUINE_LAYER_NAMES:
+            g = f.create_group(layer)
+            if layer not in rows:
+                g.attrs["weight_names"] = np.array([], dtype="S1")
+                continue
+            inner, arrays = rows[layer]
+            scope = {"inner": inner, "wrapper": layer,
+                     "nested": f"{layer}/{inner}"}[naming]
+            names = [f"{scope}/{p}:0" for p in _PARTS[len(arrays)]]
+            g.attrs["weight_names"] = np.array([n.encode() for n in names])
+            for n, a in zip(names, arrays):
+                g.create_dataset(n, data=np.asarray(a, np.float32))
+        f.attrs["layer_names"] = np.array(
+            [n.encode() for n in GENUINE_LAYER_NAMES])
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.1.6"
+
+
+def _write_legacy_bare_h5(path, params):
+    """The pre-r3 exporter's layout: bare conv1d/dense_N/lstm_N groups,
+    style last.  Still accepted for files users exported with round 2."""
+    rows = _params_rows(params)
+    order = ["conv1d", "dense_1", "lstm_1", "dense_2", "lstm_2",
+             "dense_3", "lstm_3", "dense_4", "lstm_4",
+             "note_dense", "volume_dense", "style"]
+    by_inner = {inner: arrays for _, inner, arrays in rows}
+    by_inner["conv1d"] = by_inner.pop("conv1d_1")
     with h5py.File(path, "w") as f:
         layers = []
-
-        def add(layer, names=(), arrays=()):
-            put(f, layer, names, arrays)
-            layers.append(layer.encode())
-
-        add("input_1")                                     # weightless
-        add("conv1d", ["kernel", "bias"],
-            [params.conv.kernel, params.conv.bias])
-        add("dropout_1")
-        for l, t in enumerate(params.time_axis):
-            add(f"dense_{l + 1}", ["kernel", "bias"],
-                [t.style_proj.kernel, t.style_proj.bias])
-            add(f"lstm_{l + 1}", ["kernel", "recurrent_kernel", "bias"],
-                [t.lstm.kernel, t.lstm.recurrent, t.lstm.bias])
-        for l, nt in enumerate(params.note_axis):
-            add(f"dense_{l + 3}", ["kernel", "bias"],
-                [nt.style_proj.kernel, nt.style_proj.bias])
-            add(f"lstm_{l + 3}", ["kernel", "recurrent_kernel", "bias"],
-                [nt.lstm.kernel, nt.lstm.recurrent, nt.lstm.bias])
-        add("note_dense", ["kernel", "bias"],
-            [params.note_dense.kernel, params.note_dense.bias])
-        add("volume_dense", ["kernel", "bias"],
-            [params.volume_dense.kernel, params.volume_dense.bias])
-        add("style", ["kernel", "bias"],
-            [params.style_embed.kernel, params.style_embed.bias])
+        for name in order:
+            arrays = by_inner[name]
+            g = f.create_group(name)
+            names = [f"{name}/{p}:0" for p in _PARTS[len(arrays)]]
+            g.attrs["weight_names"] = np.array([n.encode() for n in names])
+            for n, a in zip(names, arrays):
+                g.create_dataset(n, data=np.asarray(a, np.float32))
+            layers.append(name.encode())
         f.attrs["layer_names"] = np.array(layers)
-        f.attrs["backend"] = b"tensorflow"
-        f.attrs["keras_version"] = b"2.1.0"
 
 
-def test_import_roundtrip_and_forward_parity(tmp_path):
-    src = init_params(jax.random.key(7), CFG)
-    path = str(tmp_path / "model.h5")
-    _write_keras_h5(path, src, CFG)
-
-    imported = load_keras_weights(path, CFG)
-    for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(imported)):
+def _assert_leaf_equal(a_tree, b_tree):
+    for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # The imported params drive the model identically.
+
+@pytest.mark.parametrize("naming", ["inner", "wrapper", "nested"])
+def test_import_genuine_keras_layout(tmp_path, naming):
+    """A file in the true Keras 2 layout (TimeDistributed wrapper groups)
+    imports leaf-exactly, in every known weight-naming variant."""
+    src = init_params(jax.random.key(7), CFG)
+    path = str(tmp_path / "model.h5")
+    _write_genuine_keras_h5(path, src, naming=naming)
+
+    # Sanity: the fixture really is wrapper-shaped (what round 2 rejected).
+    with h5py.File(path, "r") as f:
+        groups = set(f.keys())
+        assert "time_distributed_4" in groups
+        assert not any(g.startswith(("lstm", "conv1d")) for g in groups)
+
+    imported = load_keras_weights(path, CFG)
+    _assert_leaf_equal(src, imported)
+
+
+def test_imported_params_drive_forward_identically(tmp_path):
+    src = init_params(jax.random.key(3), CFG)
+    path = str(tmp_path / "model.h5")
+    _write_genuine_keras_h5(path, src)
+    imported = load_keras_weights(path, CFG)
+
     model = DeepJ(CFG)
     B, T, N = 2, CFG.seq_len, CFG.num_notes
     notes = np.zeros((B, T, N, 3), np.float32)
@@ -88,10 +187,40 @@ def test_import_roundtrip_and_forward_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
 
 
+def test_import_legacy_bare_layout(tmp_path):
+    """Files exported by the pre-r3 writer (bare lstm_N groups) keep
+    loading."""
+    src = init_params(jax.random.key(5), CFG)
+    path = str(tmp_path / "legacy.h5")
+    _write_legacy_bare_h5(path, src)
+    _assert_leaf_equal(src, load_keras_weights(path, CFG))
+
+
+def test_import_dedupes_shared_layers(tmp_path):
+    """The reference shares the note-axis Dense/LSTM layers between its
+    training and generation graphs (ref: model.py:92-93,110,119); a file
+    that lists a shared layer under two wrapper groups imports once."""
+    src = init_params(jax.random.key(9), CFG)
+    path = str(tmp_path / "model.h5")
+    _write_genuine_keras_h5(path, src)
+    with h5py.File(path, "a") as f:
+        # A second wrapper around the same inner lstm_3 (same weight names
+        # inside), as the generation graph's TimeDistributed would add.
+        dup = f.create_group("time_distributed_11")
+        lsrc = f["time_distributed_8"]
+        names = [n for n in lsrc.attrs["weight_names"]]
+        dup.attrs["weight_names"] = np.array(names)
+        for n in names:
+            dup.create_dataset(n.decode(), data=np.asarray(lsrc[n.decode()]))
+        f.attrs["layer_names"] = np.array(
+            list(f.attrs["layer_names"]) + [b"time_distributed_11"])
+    _assert_leaf_equal(src, load_keras_weights(path, CFG))
+
+
 def test_import_rejects_wrong_architecture(tmp_path):
     src = init_params(jax.random.key(1), CFG)
     path = str(tmp_path / "model.h5")
-    _write_keras_h5(path, src, CFG)
+    _write_genuine_keras_h5(path, src)
     # A config with different dims must fail loudly, not import garbage.
     bad_cfg = make_test_config(time_axis_units=32)
     with pytest.raises(ValueError, match="kernel"):
@@ -110,7 +239,7 @@ def test_import_supports_model_weights_subgroup(tmp_path):
     'model_weights' group — the importer handles both layouts."""
     src = init_params(jax.random.key(2), CFG)
     inner = str(tmp_path / "flat.h5")
-    _write_keras_h5(inner, src, CFG)
+    _write_genuine_keras_h5(inner, src)
     outer = str(tmp_path / "full.h5")
     with h5py.File(inner, "r") as fin, h5py.File(outer, "w") as fout:
         g = fout.create_group("model_weights")
@@ -118,18 +247,45 @@ def test_import_supports_model_weights_subgroup(tmp_path):
             fin.copy(k, g)
         for a, v in fin.attrs.items():
             g.attrs[a] = v
-    imported = load_keras_weights(outer, CFG)
-    for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(imported)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _assert_leaf_equal(src, load_keras_weights(outer, CFG))
+
+
+def test_export_matches_genuine_keras_layout(tmp_path):
+    """save_keras_weights emits the byte-layout the reference's positional
+    `model.load_weights` expects: depth-ordered layer_names (weightless
+    layers included, empty weight_names), wrapper-named groups, inner-layer
+    weight names, weighted groups in the exact order of this test's
+    independently-derived table."""
+    src = init_params(jax.random.key(11), CFG)
+    path = str(tmp_path / "exported.h5")
+    save_keras_weights(src, path)
+
+    expected_rows = _params_rows(src)
+    with h5py.File(path, "r") as f:
+        layer_names = [n.decode() for n in f.attrs["layer_names"]]
+        assert layer_names == GENUINE_LAYER_NAMES
+
+        weighted = []
+        for name in layer_names:
+            g = f[name]
+            wnames = [n.decode() for n in g.attrs["weight_names"]]
+            if not wnames:
+                continue
+            weighted.append(name)
+            group, inner, arrays = expected_rows[len(weighted) - 1]
+            assert name == group
+            assert wnames == [f"{inner}/{p}:0"
+                              for p in _PARTS[len(arrays)]]
+            for wn, a in zip(wnames, arrays):
+                np.testing.assert_array_equal(
+                    np.asarray(g[wn]), np.asarray(a, np.float32))
+        assert len(weighted) == 12
 
 
 def test_export_import_roundtrip(tmp_path):
     """save_keras_weights -> load_keras_weights is leaf-exact (the reverse
     migration path: take a model trained here back to the reference)."""
-    from music_generator_tpu.training.keras_import import save_keras_weights
     src = init_params(jax.random.key(11), CFG)
     path = str(tmp_path / "exported.h5")
     save_keras_weights(src, path)
-    back = load_keras_weights(path, CFG)
-    for a, b in zip(jax.tree.leaves(src), jax.tree.leaves(back)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _assert_leaf_equal(src, load_keras_weights(path, CFG))
