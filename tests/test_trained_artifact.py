@@ -1,0 +1,102 @@
+"""The committed trained-model artifact (artifacts/trained_model_r3/) —
+the analogue of the reference's published `archives/v1/model.h5`
+(ref: .MISSING_LARGE_BLOBS:8).
+
+Pins three claims: the npz and Keras-h5 exports carry identical weights;
+the canonical checkpoint generates style-faithful music (not noise); and
+the published short samples (artifacts/short_samples_r2/, generated on
+the TPU chip) regenerate BYTE-IDENTICALLY on CPU from the committed
+weights — the cross-backend fidelity discipline (docs/FIDELITY.md) is
+what makes a published sample a reproducible artifact rather than a
+screenshot."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from music_generator_tpu.config import default_config
+from music_generator_tpu.data.dataset import compute_genre, unclamp_midi
+from music_generator_tpu.data.synth import pitch_class_histogram, synth_piece
+from music_generator_tpu.generation.sampler import Sampler
+from music_generator_tpu.midi.codec import midi_encode
+from music_generator_tpu.midi.io import write_midifile
+from music_generator_tpu.models.deepj import DeepJ, init_params
+from music_generator_tpu.utils import one_hot
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts", "trained_model_r3")
+SHORT = os.path.join(os.path.dirname(ART), "short_samples_r2")
+
+
+def _load_npz(model, path):
+    template = init_params(jax.random.key(0), model.cfg)
+    data = np.load(path)
+    leaves_kv = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [data[jax.tree_util.keystr(k)] for k, _ in leaves_kv[0]]
+    return jax.tree_util.tree_unflatten(leaves_kv[1], leaves)
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    cfg = default_config()
+    return cfg, DeepJ(cfg)
+
+
+def test_npz_and_h5_exports_agree(flagship):
+    """params.npz and model.h5 are the same checkpoint, leaf for leaf
+    (the h5 goes through the genuine-Keras-layout writer/reader)."""
+    pytest.importorskip("h5py")
+    from music_generator_tpu.training.keras_import import load_keras_weights
+    cfg, model = flagship
+    p_npz = _load_npz(model, os.path.join(ART, "params.npz"))
+    p_h5 = load_keras_weights(os.path.join(ART, "model.h5"), cfg)
+    for a, b in zip(jax.tree.leaves(p_npz), jax.tree.leaves(p_h5)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trained_checkpoint_is_style_faithful(flagship):
+    """4 bars conditioned on three single styles: substantial note output
+    whose pitch-class mass lands in the conditioning style's scale family
+    (same scoring as tools/run_convergence.py; thresholds far above the
+    ~1/3 chance overlap of unrelated scales).  Generation is seed-exact,
+    so the assertion is deterministic."""
+    cfg, model = flagship
+    params = _load_npz(model, os.path.join(ART, "params.npz"))
+    sampler = Sampler(model, params)
+    sids = (0, 7, 14)
+    res = sampler.generate([one_hot(s, cfg.num_styles) for s in sids],
+                           num_bars=4, seed=0)
+    notes = np.asarray(res.notes)
+    for i, s in enumerate(sids):
+        roll = notes[i]
+        n_notes = int((roll[..., 0] > 0).sum())
+        h_gen = pitch_class_histogram(roll)
+        h_own = pitch_class_histogram(
+            synth_piece(s, bars=4, seed=0, config=cfg)
+            [:, cfg.min_note:cfg.max_note])
+        own = float(np.minimum(h_gen, h_own).sum())
+        assert n_notes >= 100, f"style {s}: only {n_notes} notes"
+        assert own >= 0.8, f"style {s}: own-scale overlap {own:.3f}"
+
+
+def test_published_short_samples_regenerate_byte_identically(
+        flagship, tmp_path):
+    """artifacts/short_samples_r2/short_s0_*.mid were generated on the TPU
+    chip through the stock CLI; the same sampling math on CPU from the
+    committed params_short23.npz reproduces them byte for byte."""
+    cfg, model = flagship
+    params = _load_npz(model, os.path.join(ART, "params_short23.npz"))
+    sampler = Sampler(model, params)
+    styles = [compute_genre(g, cfg) for g in range(3)]
+    res = sampler.generate(styles, num_bars=8, seed=0)
+    for i in range(3):
+        out = tmp_path / f"regen_{i}.mid"
+        write_midifile(str(out),
+                       midi_encode(unclamp_midi(np.asarray(res.notes[i]),
+                                                cfg), config=cfg))
+        published = os.path.join(SHORT, f"short_s0_{i}.mid")
+        assert out.read_bytes() == open(published, "rb").read(), \
+            f"short_s0_{i}.mid does not regenerate byte-identically"

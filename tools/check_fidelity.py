@@ -24,7 +24,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEEDS = (0, 1, 2, 3, 4, 5, 6, 7)
-BARS = 4
+TRAINED_PARAMS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "trained_model_r3", "params.npz")
 
 
 def _params_to_npz(params, path):
@@ -47,7 +49,7 @@ def _params_from_npz(model, path):
 
 
 def generate_suite(out_dir: str, variant: str, params_npz: str,
-                   temperature: float = 1.0) -> None:
+                   temperature: float = 1.0, bars: int = 4) -> None:
     """Generate the seed/style matrix into out_dir with the given variant:
     'xla' (the default scan path), 'fused' (the Pallas pitch-loop kernel),
     or 'bf16' (the no-discipline control: bf16 compute, default matmul
@@ -90,7 +92,7 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
         for tag, styles in (("solo", [one_hot(0, cfg.num_styles)]),
                             ("genres", [compute_genre(g, cfg)
                                         for g in range(3)])):
-            result = sampler.generate(styles, num_bars=BARS, seed=seed,
+            result = sampler.generate(styles, num_bars=bars, seed=seed,
                                       temperature=temperature)
             for i in range(result.notes.shape[0]):
                 mf = midi_encode(unclamp_midi(result.notes[i], cfg),
@@ -117,6 +119,19 @@ def main(argv=None):
                              "certify at non-default temperatures too (the "
                              "adaptive state machine makes T a first-class "
                              "part of the sampling math)")
+    parser.add_argument("--bars", type=int, default=4,
+                        help="piece length per generation — certify long "
+                             "pieces too (recurrent-state drift grows with "
+                             "length, so 32-bar identity is the stronger "
+                             "claim; docs/FIDELITY.md)")
+    parser.add_argument("--params", default=TRAINED_PARAMS,
+                        help="params .npz to certify (default: the "
+                             "committed trained checkpoint, "
+                             "artifacts/trained_model_r3/params.npz); a "
+                             "pre-seeded <out>/params.npz always wins")
+    parser.add_argument("--random-init", action="store_true",
+                        help="certify fresh random-init params instead of "
+                             "a trained checkpoint (knife-edge analysis)")
     parser.add_argument("--phase", default="main",
                         choices=["main", "cpu-child"])
     args = parser.parse_args(argv)
@@ -129,8 +144,19 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
         assert jax.default_backend() == "cpu"
-        generate_suite(os.path.join(out, "cpu"), "xla", params_npz, temp)
+        generate_suite(os.path.join(out, "cpu"), "xla", params_npz, temp,
+                       args.bars)
         return
+
+    # Default trained-certification input: the committed checkpoint.  A
+    # params.npz already in <out> is kept (pre-seeding wins); --random-init
+    # skips seeding so generate_suite materializes fresh params.
+    if not os.path.exists(params_npz) and not args.random_init:
+        if not os.path.exists(args.params):
+            raise SystemExit(f"--params file not found: {args.params}")
+        import shutil
+        shutil.copy(args.params, params_npz)
+        print(f"certifying trained params from {args.params}")
 
     from music_generator_tpu.utils.compile_cache import enable
     enable()
@@ -138,23 +164,25 @@ def main(argv=None):
     backend = jax.default_backend()
     print("primary backend:", backend)
     generate_suite(os.path.join(out, f"{backend}-xla"), "xla", params_npz,
-                   temp)
+                   temp, args.bars)
     if backend == "tpu":
         generate_suite(os.path.join(out, f"{backend}-fused"), "fused",
-                       params_npz, temp)
+                       params_npz, temp, args.bars)
         generate_suite(os.path.join(out, f"{backend}-bf16"), "bf16",
-                       params_npz, temp)
+                       params_npz, temp, args.bars)
 
     # CPU oracle in a child process (the backend can't change in-process).
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run([sys.executable, os.path.abspath(__file__),
                     "--out", out, "--phase", "cpu-child",
-                    "--temperature", str(temp)],
+                    "--temperature", str(temp), "--bars", str(args.bars)],
                    check=True, env=env, cwd=os.path.dirname(
                        os.path.dirname(os.path.abspath(__file__))))
 
-    report = {"backend": backend, "seeds": list(SEEDS), "bars": BARS,
-              "temperature": temp}
+    report = {"backend": backend, "seeds": list(SEEDS), "bars": args.bars,
+              "temperature": temp,
+              "params_source": ("random-init" if args.random_init
+                                else args.params)}
     report["xla_vs_cpu"] = compare_dirs(
         os.path.join(out, f"{backend}-xla"), os.path.join(out, "cpu"))
     if backend == "tpu":
