@@ -261,12 +261,14 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
     source path (ref: midi_util.py:193-210).  Unlike the reference — which
     parses the MIDI file even on cache hits (ref: midi_util.py:194) — the
     cache is checked first, and (a deliberate improvement; the reference
-    never invalidates) a cache entry older than its source file is
-    re-decoded rather than silently served stale."""
+    never invalidates) a cache entry not strictly newer than its source
+    file is re-decoded rather than silently served stale — `<=` so a
+    source rewritten within the same filesystem-timestamp tick as the
+    cache write still invalidates (costs one cheap re-decode on ties)."""
     cfg = config or default_config()
     cache_path = os.path.join(cfg.cache_dir, fname + ".npy")
     try:
-        if os.path.getmtime(cache_path) < os.path.getmtime(fname):
+        if os.path.getmtime(cache_path) <= os.path.getmtime(fname):
             raise OSError("stale cache")
         note_seq = np.load(cache_path)
     except Exception:
