@@ -114,7 +114,17 @@ def generate_main(argv=None) -> None:
         styles = [(1 - w) * sa + w * sb for w in ws]
 
     print("Generating with styles:", [int(np.argmax(s)) for s in styles])
-    sampler = Sampler(model, params, default_temp=args.temperature)
+    # More than one chip: shard the generation batch over a data mesh (the
+    # sampler pads non-dividing batches; BASELINE config 4 from the stock
+    # CLI).  One chip: plain single-device generation.
+    from music_generator_tpu.parallel.mesh import auto_mesh
+    mesh = auto_mesh()
+    if mesh is not None:
+        import jax
+        print(f"Sharding {len(styles)} generations over "
+              f"{len(jax.devices())} devices")
+    sampler = Sampler(model, params, default_temp=args.temperature,
+                      mesh=mesh)
     result = sampler.generate(styles, num_bars=args.bars, seed=args.seed)
     write_file(args.out, result, cfg)
 

@@ -215,8 +215,24 @@ class Sampler:
         never recompiles, and the recurrent/temperature/RNG state crosses
         chunk boundaries exactly (chunking does not change the output).
         `temperature` is a traced runtime value — varying it never triggers
-        a recompile (one Sampler serves any temperature)."""
+        a recompile (one Sampler serves any temperature).
+
+        With a mesh, a batch that doesn't divide the device count is padded
+        with copies of the last style mixture to the next multiple (the
+        same bucket trick serving uses) and the padding is sliced off the
+        result — G=3 genre mixtures run fine on 8 chips.  Note the sampled
+        bytes are a deterministic function of the PADDED batch shape (the
+        per-step uniforms are drawn as one [G, N, 2] block), so a padded
+        mesh run is not byte-equal to an unpadded single-chip run of the
+        same G; cross-backend byte identity (docs/FIDELITY.md) compares
+        equal shapes."""
         cfg = self.cfg
+        G_real = len(styles)
+        styles = list(styles)
+        if self.mesh is not None:
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            pad = (-G_real) % n_dev
+            styles = styles + [styles[-1]] * pad
         styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -238,8 +254,8 @@ class Sampler:
                                            jnp.int32(t))
             pieces.append(np.asarray(notes))
             t += n
-        return GenerationResult(np.concatenate(pieces, axis=1),
-                                np.asarray(styles_arr))
+        return GenerationResult(np.concatenate(pieces, axis=1)[:G_real],
+                                np.asarray(styles_arr)[:G_real])
 
 
 def write_file(name: str, result: GenerationResult,

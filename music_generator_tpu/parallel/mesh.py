@@ -31,6 +31,18 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def auto_mesh(axis_name: str = "data") -> Optional[Mesh]:
+    """A data mesh over all local chips when there is more than one, else
+    None — the user-facing default for generation surfaces (generate CLI,
+    serving): BASELINE config 4's 64 parallel samples shard over a v5e-8
+    from the stock CLI with no flags.  Single-process only (multi-process
+    generation would need per-host result gathering; training is the
+    multi-process surface)."""
+    if jax.process_count() == 1 and len(jax.devices()) > 1:
+        return make_mesh(axis_name=axis_name)
+    return None
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis_name))

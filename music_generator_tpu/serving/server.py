@@ -55,7 +55,11 @@ class GenerationService:
         # compiled executables — serves every client temperature.  (Round-1
         # advisor finding: a per-temperature sampler cache recompiled for
         # every novel float and grew without bound.)
-        self._sampler = Sampler(self.model, self.params)
+        # Multi-chip host: shard request batches over a data mesh (the
+        # sampler pads the power-of-two buckets below up to mesh
+        # divisibility when needed).
+        from music_generator_tpu.parallel.mesh import auto_mesh
+        self._sampler = Sampler(self.model, self.params, mesh=auto_mesh())
         if warmup:
             self.generate(mixture=compute_genre(0, self.cfg), bars=1)
 

@@ -17,8 +17,9 @@ def captured(monkeypatch):
     rec = {}
 
     class FakeSampler:
-        def __init__(self, model, params, default_temp=1.0):
+        def __init__(self, model, params, default_temp=1.0, mesh=None):
             rec["temp"] = default_temp
+            rec["mesh"] = mesh
 
         def generate(self, styles, num_bars, seed):
             rec["styles"] = [np.asarray(s) for s in styles]
@@ -40,6 +41,18 @@ def test_generate_default_is_three_genre_mixtures(captured):
         k = len(CFG.styles[g])
         assert np.isclose(s.sum(), 1.0) and (s > 0).sum() == k
     assert captured["bars"] == 32 and captured["seed"] == 0
+
+
+def test_generate_auto_meshes_on_multichip(captured):
+    """On a multi-device host the stock CLI hands the sampler a data mesh
+    (this test env is the 8-device virtual CPU mesh)."""
+    import jax
+    cli.generate_main([])
+    if len(jax.devices()) > 1:
+        assert captured["mesh"] is not None
+        assert captured["mesh"].devices.size == len(jax.devices())
+    else:
+        assert captured["mesh"] is None
 
 
 def test_generate_styles_flag_means_mean_of_one_hots(captured):

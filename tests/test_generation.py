@@ -157,6 +157,30 @@ def test_mesh_sharded_generation_matches_unsharded():
                                atol=1e-3)
 
 
+def test_mesh_generation_pads_non_dividing_batch():
+    """G=3 genre mixtures on an 8-device mesh (the CLI default on a
+    v5e-8): the sampler pads the batch to mesh divisibility with copies of
+    the last style and slices the padding off — results are the ones a
+    plain run of the PADDED batch produces (the per-step uniform block is
+    shaped by the padded batch, so that is the parity oracle)."""
+    from music_generator_tpu.parallel.mesh import make_mesh
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(2), CFG)
+    styles = [compute_genre(i, CFG) for i in range(3)]
+
+    meshed = Sampler(model, params, mesh=make_mesh()).generate(
+        styles, num_bars=1, seed=4)
+    assert meshed.notes.shape[0] == 3 and meshed.styles.shape[0] == 3
+
+    padded = styles + [styles[-1]] * 5
+    plain = Sampler(model, params).generate(padded, num_bars=1, seed=4)
+    np.testing.assert_array_equal(plain.notes[:3, ..., :2],
+                                  meshed.notes[..., :2])
+    np.testing.assert_allclose(plain.notes[:3, ..., 2],
+                               meshed.notes[..., 2], atol=1e-3)
+    np.testing.assert_array_equal(plain.styles[:3], meshed.styles)
+
+
 def test_chunked_streaming_equals_monolithic(sampler):
     """Chunk size must not change the generated piece — the recurrent,
     temperature, and RNG state cross chunk boundaries exactly."""
