@@ -81,14 +81,17 @@ def bench_generate(cfg, args, batch):
     bars = args.gen_bars
     r = sampler.generate(styles, num_bars=bars, seed=0)   # compile
     float(r.notes.sum())
-    reps = args.gen_reps   # average out relay jitter; results reach host
-                           # per call
-    t0 = time.perf_counter()
+    reps = args.gen_reps   # results reach host per call
+    steps_per_rep = bars * cfg.notes_per_bar
+    # Time each rep separately so relay jitter is visible in the output
+    # (the headline is the median; min ≈ the hardware, spread ≈ the relay).
+    per_rep = []
     for i in range(reps):
+        t0 = time.perf_counter()
         sampler.generate(styles, num_bars=bars, seed=1 + i)
-    dt = time.perf_counter() - t0
-    steps = reps * bars * cfg.notes_per_bar
-    ms_per_step = dt / steps * 1000.0
+        per_rep.append((time.perf_counter() - t0) / steps_per_rep * 1000.0)
+    per_rep.sort()
+    ms_per_step = per_rep[len(per_rep) // 2]
     # Baseline target: < 5 ms/timestep → vs_baseline = target / actual
     # (>1 is better than target).
     return {
@@ -97,6 +100,9 @@ def bench_generate(cfg, args, batch):
         "unit": f"ms/timestep ({batch} parallel generations, "
                 f"{bars} bars/rep)",
         "vs_baseline": round(TARGET_GEN_MS_PER_STEP / ms_per_step, 3),
+        "reps_ms_min_median_max": [round(per_rep[0], 3),
+                                   round(ms_per_step, 3),
+                                   round(per_rep[-1], 3)],
     }
 
 
