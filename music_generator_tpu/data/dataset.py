@@ -106,6 +106,11 @@ class Dataset:
     targets: np.ndarray      # [N, T, num_notes, 3] float32 (one-step shift)
     beats: np.ndarray        # [N, T, notes_per_bar] float32
     styles: np.ndarray       # [N, T, num_styles] float32
+    # Set by shard(): (shard_index, shard_count, global_rows), so consumers
+    # can tell wrap-padded duplicate rows from real ones — for any shard,
+    # not just their own (trainer.evaluate weights every host's duplicates
+    # out of the global mean).
+    shard_info: Optional[Tuple[int, int, int]] = None
 
     def __len__(self) -> int:
         return len(self.notes)
@@ -119,12 +124,25 @@ class Dataset:
         would run one fewer step and desynchronize (then deadlock) the
         cluster.  The pad wraps the interleaved index stream modulo n (at
         most one duplicate row per host per epoch — noise next to shuffled
-        training)."""
+        training; exact consumers use `shard_validity`)."""
         n = len(self.notes)
         want = -(-n // count) if n else 0
         idx = (index + count * np.arange(want)) % max(n, 1)
         return Dataset(self.notes[idx], self.targets[idx],
-                       self.beats[idx], self.styles[idx])
+                       self.beats[idx], self.styles[idx],
+                       shard_info=(index, count, n))
+
+    def shard_validity(self, index: Optional[int] = None) -> np.ndarray:
+        """[len(self)] float mask — 1.0 for real rows, 0.0 for wrap-padded
+        duplicates — of shard `index` (default: this shard).  Defined for
+        ANY shard index of the same shard() call, so every host can build
+        the other hosts' masks deterministically."""
+        if self.shard_info is None:
+            return np.ones(len(self), np.float64)
+        own, count, n_global = self.shard_info
+        q = own if index is None else index
+        return ((q + count * np.arange(len(self))) < n_global).astype(
+            np.float64)
 
 
 def _load_style_files(files: Sequence[str], cfg: Config) -> List[np.ndarray]:

@@ -140,7 +140,17 @@ def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
         os.makedirs(d, exist_ok=True)
         for i in range(files_per_style):
             roll = synth_piece(style_id, bars=bars, seed=seed + i, config=cfg)
-            roll = transpose_augment(roll, shift)
+            # Apply the shift on the CLAMPED view (clamp -> shift ->
+            # unclamp), exactly as training augmentation does on clamped
+            # windows — notes shifted across the clamp boundary are zeroed
+            # here too, not clamped later on load (advisor r2: shifting
+            # the pre-clamp roll let boundary notes survive, an eval/train
+            # transform mismatch at edge pitches).  Synth pieces live
+            # inside the clamp range, so shift=0 output is unchanged.
+            clamped = transpose_augment(
+                roll[:, cfg.min_note:cfg.max_note], shift)
+            roll = np.zeros_like(roll)
+            roll[:, cfg.min_note:cfg.max_note] = clamped
             path = os.path.join(d, f"synth_{style_id}_{i}.mid")
             write_midifile(path, midi_encode(roll, step=1, config=cfg))
             paths.append(path)

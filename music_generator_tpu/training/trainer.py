@@ -324,7 +324,11 @@ class Trainer:
         when len(ds) doesn't divide, so the eval step returns PER-SAMPLE
         metrics and the pad rows get weight zero (a batch-mean over padded
         duplicates would overweight them — e.g. 5 of 8 rows on a 3-sample
-        dataset over an 8-device mesh)."""
+        dataset over an 8-device mesh).  Dataset.shard's wrap-padded
+        duplicate rows are weighted out too (via shard_validity, on every
+        host), so on an uneven multi-host corpus each real window counts
+        exactly once — e.g. a 17-window global corpus over 2 hosts divides
+        by 17, not 18."""
         if len(ds) == 0:
             raise ValueError("empty dataset — nothing to evaluate")
         if self._eval_step is None:
@@ -339,20 +343,33 @@ class Trainer:
         n = len(ds)
         padded = -(-n // batch_size) * batch_size
         idx = np.concatenate([np.arange(n), np.zeros(padded - n, np.int64)])
-        weight = np.concatenate([np.ones(n), np.zeros(padded - n)])
         # Multi-process: `ds` is the local shard; the eval step returns
         # per-sample metrics for the GLOBAL batch (process-major row order,
         # every host padded identically since Dataset.shard equalizes shard
-        # lengths), so the weight vector tiles across processes.
+        # lengths).  Weights zero out BOTH this function's batch padding
+        # and Dataset.shard's wrap-padded duplicate rows — for every
+        # process, each built from ds.shard_validity(q) (hosts can
+        # reconstruct each other's masks deterministically) — so uneven
+        # multi-host corpora average each real window exactly once.
         nproc = jax.process_count()
+        pad = np.zeros(padded - n)
+        if ds.shard_info is not None and ds.shard_info[1] == nproc > 1:
+            masks = [ds.shard_validity(q) for q in range(nproc)]
+        else:
+            # Unsharded, or a shard evaluated outside its cluster: use the
+            # local validity mask (all-ones when unsharded).
+            masks = [ds.shard_validity()] * nproc
+        proc_weights = [np.concatenate([m, pad]) for m in masks]
+        denom = float(sum(w.sum() for w in proc_weights))
         sums: dict = {}
         for s in range(padded // batch_size):
             sel = idx[s * batch_size:(s + 1) * batch_size]
-            w = np.tile(weight[s * batch_size:(s + 1) * batch_size], nproc)
+            w = np.concatenate([pw[s * batch_size:(s + 1) * batch_size]
+                                for pw in proc_weights])
             batch = (ds.notes[sel], ds.targets[sel], ds.beats[sel],
                      ds.styles[sel])
             metrics = self._eval_step(self.state.params,
                                       shard_batch(self.mesh, batch))
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(np.asarray(v) @ w)
-        return {k: v / (n * nproc) for k, v in sums.items()}
+        return {k: v / denom for k, v in sums.items()}

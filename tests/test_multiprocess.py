@@ -97,3 +97,7 @@ def test_two_process_trainer_fit_uneven_corpus(tmp_path):
     # Cross-process evaluate agrees too (global per-sample weighting).
     np.testing.assert_allclose(h0["eval_loss"], h1["eval_loss"], rtol=1e-6)
     assert np.isfinite(h0["eval_loss"])
+    # The global mean is EXACT: the 18th (wrap-padded duplicate) row is
+    # weighted out, so the collective eval equals the plain per-window mean
+    # over the 17-window global corpus computed locally.
+    np.testing.assert_allclose(h0["eval_loss"], h0["eval_oracle"], rtol=1e-4)

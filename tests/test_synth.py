@@ -63,6 +63,29 @@ def test_corpus_loads_through_pipeline(tmp_path, monkeypatch):
     assert set(np.argmax(ds.styles[:, 0], axis=-1)) == {0, 1}
 
 
+def test_shifted_corpus_matches_training_transform(tmp_path, monkeypatch):
+    """write_synth_corpus(shift=k) must equal applying the TRAINING
+    augmentation transform (transpose_augment on the clamped view) to the
+    shift=0 corpus — the eval corpora of the augmentation study use the
+    exact transform the training pipeline uses (advisor r2: shifting the
+    pre-clamp roll let clamp-boundary notes survive)."""
+    from music_generator_tpu.data.dataset import clamp_midi, transpose_augment
+    from music_generator_tpu.midi.codec import load_midi
+
+    cfg = CFG.replace(out_dir=str(tmp_path / "out"))
+    base = tmp_path / "base"
+    shifted = tmp_path / "shifted"
+    k = 2
+    p0 = write_synth_corpus(str(base), styles=[0], files_per_style=1,
+                            bars=4, config=cfg)
+    p2 = write_synth_corpus(str(shifted), styles=[0], files_per_style=1,
+                            bars=4, shift=k, config=cfg)
+    monkeypatch.chdir(tmp_path)
+    r0 = clamp_midi(load_midi(os.path.relpath(p0[0]), cfg), cfg)
+    r2 = clamp_midi(load_midi(os.path.relpath(p2[0]), cfg), cfg)
+    np.testing.assert_array_equal(transpose_augment(r0, k), r2)
+
+
 def test_random_batch_is_deterministic_and_shaped():
     """random_batch feeds the driver-facing bench/dryrun parity checks —
     its draws must be a stable function of (cfg, seed)."""

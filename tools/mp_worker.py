@@ -51,12 +51,24 @@ def run_fit(pid: int, nproc: int, out: str) -> None:
     param_sum = float(sum(float(np.abs(x).sum())
                           for x in jax.tree.leaves(trainer.state.params)))
     # Cross-process evaluate: a global collective over both hosts' shards —
-    # every host must compute the identical global mean.
+    # every host must compute the identical global mean, and with 17
+    # windows over 2 hosts the wrap-padded duplicate row must be weighted
+    # out (shard_validity): the mean divides by 17, not 18.
     eval_loss = trainer.evaluate(local)["loss"]
+    # Exact oracle: per-window loss over the GLOBAL corpus, computed
+    # locally (replicated params are fully addressable on every host).
+    from music_generator_tpu.models.deepj import per_sample_loss
+    params_np = jax.tree.map(np.asarray, trainer.state.params)
+    preds = model.forward(params_np, global_ds.notes, global_ds.targets,
+                          global_ds.beats, global_ds.styles,
+                          rng=None, train=False)
+    eval_oracle = float(np.mean(np.asarray(
+        per_sample_loss(global_ds.targets, preds)["loss"])))
     with open(f"{out}.{pid}", "w") as f:
         json.dump({"loss": history["loss"],
                    "steps_per_epoch": history["steps_per_epoch"],
                    "eval_loss": eval_loss,
+                   "eval_oracle": eval_oracle,
                    "param_sum": param_sum}, f)
 
 
