@@ -55,11 +55,38 @@ S_MID = 3       # inter-layer dropout (tdrop0 / ndrop0)
 S_OUT = 4       # output dropout (ndrop1, note stack only)
 
 
-def _row_tiling(A: int, B: int, max_rows: int = 256) -> Tuple[int, int]:
+# --- ceiling-probe knobs (tools/tpu_probe_ceiling.py) ----------------------
+# Production values below; the probe overrides them (then clears the
+# lru/jit caches) to price grid-invocation overhead and transcendental
+# headroom on the chip — the measurements behind docs/PERFORMANCE.md's
+# "Where the remaining 48.6 ms goes".  Read at trace time.
+MAX_TILE_ROWS = 256   # _row_tiling row cap; halving it doubles invocations
+HARD_GATES = False    # clip-based gate nonlinearities (probe only — NOT an
+                      # LSTM; times the VPU transcendental budget)
+
+
+def _gates(z, hidden):
+    if HARD_GATES:
+        def hs(v):
+            return jnp.clip(v * jnp.asarray(0.25, v.dtype)
+                            + jnp.asarray(0.5, v.dtype), 0.0, 1.0)
+        return (hs(z[:, :hidden]), hs(z[:, hidden:2 * hidden]),
+                jnp.clip(z[:, 2 * hidden:3 * hidden], -1.0, 1.0),
+                hs(z[:, 3 * hidden:]))
+    return _gate_slices(z, hidden)
+
+
+def _tanh(x):
+    return jnp.clip(x, -1.0, 1.0) if HARD_GATES else jnp.tanh(x)
+
+
+def _row_tiling(A: int, B: int, max_rows: int = 0) -> Tuple[int, int]:
     """Tile the (across, batch) row space as (k, B) blocks: k whole
     `across` slices per tile so the [S_or_A, B, F] style streams broadcast
     cleanly on-chip.  Returns (k, A // k).  Shared by forward and backward
-    (mask regeneration requires identical tiling)."""
+    (mask regeneration requires identical tiling).  max_rows=0 → the
+    MAX_TILE_ROWS module knob (256 in production)."""
+    max_rows = max_rows or MAX_TILE_ROWS
     if B >= max_rows:
         return 1, A
     best = 1
@@ -103,19 +130,19 @@ def _mask(seed_ref, site: int, j, s, shape, keep_prob: float, dtype):
 def _cell_fwd(z_in, h_prev_f32, c_prev_f32, u_ref, cdt, hidden):
     z = (z_in + jnp.dot(h_prev_f32.astype(cdt), u_ref[:],
                         preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gate_slices(z, hidden)
+    i, f, g, o = _gates(z, hidden)
     c_new = f.astype(jnp.float32) * c_prev_f32 + (i * g).astype(jnp.float32)
     h_new = (o.astype(jnp.float32)
-             * jnp.tanh(c_new.astype(cdt)).astype(jnp.float32))
+             * _tanh(c_new.astype(cdt)).astype(jnp.float32))
     return h_new, c_new
 
 
 def _cell_recompute(z_in, h_prev, c_prev_f32, u_ref, cdt, hidden):
     z = (z_in + jnp.dot(h_prev, u_ref[:],
                         preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gate_slices(z, hidden)
+    i, f, g, o = _gates(z, hidden)
     c_new = f.astype(jnp.float32) * c_prev_f32 + (i * g).astype(jnp.float32)
-    tanh_c = jnp.tanh(c_new.astype(cdt)).astype(jnp.float32)
+    tanh_c = _tanh(c_new.astype(cdt)).astype(jnp.float32)
     return i, f, g, o, tanh_c
 
 
