@@ -152,6 +152,16 @@ class Config:
     # docs/FIDELITY.md for the verified cross-backend results.
     gen_dtype: str = "float32"
     gen_matmul_precision: str = "highest"
+    # Opt-in deviation #9 (docs/MIGRATION.md): snap sampled volumes to the
+    # 1/127 MIDI-velocity grid inside generation (round(v*127)/127), so the
+    # emitted velocity byte is a lossless function of the stored float
+    # (every f32 grid point truncates back to its own integer) and the
+    # drift knife-edge moves from the encoder's truncation boundaries —
+    # where trained volume outputs cluster, because training data lives ON
+    # the grid — to the rounding midpoints between them.  OFF by default:
+    # the raw copy-through is the reference's semantics (ref:
+    # generate.py:48,55) and the published certified artifacts pin it.
+    gen_volume_quantize: bool = False
 
     # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
     @property

@@ -35,6 +35,11 @@ from music_generator_tpu.models.deepj import DeepJ, Params
 from music_generator_tpu.ops.sampling import apply_temperature
 
 
+# Exact f32(k/127) grid for gen_volume_quantize (IEEE true division on the
+# host; see the quantization comment in _note_scan).
+_VELOCITY_GRID = np.arange(128, dtype=np.float32) / np.float32(127.0)
+
+
 class StepState(NamedTuple):
     time_state: Tuple            # per-layer (h, c) of the time axis
     prev_note: jax.Array         # [G, N, 3] — the notes chosen last step
@@ -98,7 +103,10 @@ class Sampler:
 
         if (cfg.fused_gen_kernel and model._kernel() == "pallas"
                 and len(params.note_axis) == 2
-                and G <= cfg.fused_gen_max_batch):
+                and G <= cfg.fused_gen_max_batch
+                and not cfg.gen_volume_quantize):
+            # (The fused kernel doesn't implement volume quantization —
+            # the scan path below is the quantizing one.)
             # The whole pitch loop (2 LSTM layers + heads + temperature +
             # Bernoulli compares) as ONE Pallas invocation.  Wins for small
             # generation batches (0.46 vs 0.62 ms/step single-stream at 32
@@ -130,7 +138,20 @@ class Sampler:
             # emit MIDI velocities >127 or negative — invalid bytes the
             # encoder would have to truncate anyway.  Pinned by
             # tests/test_generation.py::test_volume_clip_is_deliberate.
-            volume = jnp.clip(pred[:, 2], 0.0, 1.0) * play
+            volume = jnp.clip(pred[:, 2], 0.0, 1.0)
+            if cfg.gen_volume_quantize:
+                # Opt-in deviation #9: snap to the 1/127 velocity grid
+                # (config.py `gen_volume_quantize` documents the
+                # knife-edge trade; test_volume_quantization pins it).
+                # Gather from a host-computed true-division table: an
+                # on-device `x/127` gets rewritten to multiply-by-
+                # reciprocal, whose 1-ULP-low results mis-truncate 8 of
+                # the 128 grid points back through the encoder's
+                # int(v*127); the f32(k/127) table truncates losslessly
+                # for every k.
+                k = jnp.round(volume * 127.0).astype(jnp.int32)
+                volume = jnp.asarray(_VELOCITY_GRID)[k]
+            volume = volume * play
             chosen = jnp.stack([play, replay, volume], axis=-1)   # [G, 3]
             return (note_state, chosen), chosen
 

@@ -211,6 +211,39 @@ def test_volume_clip_is_deliberate():
     np.testing.assert_array_equal(result.notes[..., 2][play], 1.0)
 
 
+def test_volume_quantization(tmp_path):
+    """Opt-in deviation #9 (Config.gen_volume_quantize): sampled volumes
+    land exactly on the 1/127 velocity grid, OFF by default (the published
+    certified artifacts pin raw copy-through), and the emitted velocity
+    byte is then a lossless function of the stored float."""
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(3), CFG)
+    # Plenty of notes, mid-range volumes.
+    params = params._replace(
+        note_dense=params.note_dense._replace(
+            bias=params.note_dense.bias + 5.0))
+    style = [compute_genre(0, CFG)]
+
+    plain = Sampler(model, params).generate(style, num_bars=1, seed=0)
+    played = plain.notes[..., 0] > 0
+    assert played.any()
+    grid = np.round(plain.notes[..., 2] * 127.0) / 127.0
+    # Default OFF: the raw head output is generally NOT grid-aligned.
+    assert not np.allclose(plain.notes[..., 2], grid)
+
+    qmodel = DeepJ(CFG.replace(gen_volume_quantize=True))
+    quant = Sampler(qmodel, params).generate(style, num_bars=1, seed=0)
+    # All stored volumes are exact f32 grid points k/127 (true-division
+    # table; an on-device division would land 1 ULP off for some k).
+    v = np.asarray(quant.notes[..., 2], np.float32)
+    k = np.round(v * np.float32(127.0))
+    grid = np.arange(128, dtype=np.float32) / np.float32(127.0)
+    np.testing.assert_array_equal(v, grid[k.astype(np.int32)])
+    # Lossless byte round-trip: the encoder's int(v*127) truncation
+    # recovers exactly k for every emitted value.
+    np.testing.assert_array_equal(np.floor(v * np.float32(127.0)), k)
+
+
 def test_temperature_is_traced_no_recompile():
     """One sampler serves every temperature with one compiled executable
     (round-1 advisor finding: per-temperature samplers recompiled)."""

@@ -49,7 +49,8 @@ def _params_from_npz(model, path):
 
 
 def generate_suite(out_dir: str, variant: str, params_npz: str,
-                   temperature: float = 1.0, bars: int = 4) -> None:
+                   temperature: float = 1.0, bars: int = 4,
+                   quantize_volume: bool = False) -> None:
     """Generate the seed/style matrix into out_dir with the given variant:
     'xla' (the default scan path), 'fused' (the Pallas pitch-loop kernel),
     or 'bf16' (the no-discipline control: bf16 compute, default matmul
@@ -67,7 +68,8 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
 
     cfg = default_config().replace(
         lstm_kernel="xla" if variant in ("xla", "bf16") else "auto",
-        fused_gen_kernel=(variant == "fused"))
+        fused_gen_kernel=(variant == "fused"),
+        gen_volume_quantize=quantize_volume)
     if variant == "bf16":
         # The control: generation WITHOUT the backend-stability discipline
         # (bf16 compute, default matmul precision) — quantifies how much
@@ -132,6 +134,10 @@ def main(argv=None):
     parser.add_argument("--random-init", action="store_true",
                         help="certify fresh random-init params instead of "
                              "a trained checkpoint (knife-edge analysis)")
+    parser.add_argument("--quantize-volume", action="store_true",
+                        help="certify with Config.gen_volume_quantize "
+                             "(deviation #9): volumes snapped to the 1/127 "
+                             "velocity grid during sampling")
     parser.add_argument("--phase", default="main",
                         choices=["main", "cpu-child"])
     args = parser.parse_args(argv)
@@ -145,7 +151,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
         assert jax.default_backend() == "cpu"
         generate_suite(os.path.join(out, "cpu"), "xla", params_npz, temp,
-                       args.bars)
+                       args.bars, args.quantize_volume)
         return
 
     # Default trained-certification input: the committed checkpoint.  A
@@ -164,30 +170,37 @@ def main(argv=None):
     backend = jax.default_backend()
     print("primary backend:", backend)
     generate_suite(os.path.join(out, f"{backend}-xla"), "xla", params_npz,
-                   temp, args.bars)
+                   temp, args.bars, args.quantize_volume)
     if backend == "tpu":
-        generate_suite(os.path.join(out, f"{backend}-fused"), "fused",
-                       params_npz, temp, args.bars)
+        if not args.quantize_volume:
+            # The fused kernel has no quantization path (sampler falls
+            # back to the scan) — only certify it unquantized.
+            generate_suite(os.path.join(out, f"{backend}-fused"), "fused",
+                           params_npz, temp, args.bars)
         generate_suite(os.path.join(out, f"{backend}-bf16"), "bf16",
-                       params_npz, temp, args.bars)
+                       params_npz, temp, args.bars, args.quantize_volume)
 
     # CPU oracle in a child process (the backend can't change in-process).
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run([sys.executable, os.path.abspath(__file__),
                     "--out", out, "--phase", "cpu-child",
-                    "--temperature", str(temp), "--bars", str(args.bars)],
+                    "--temperature", str(temp), "--bars", str(args.bars)]
+                   + (["--quantize-volume"] if args.quantize_volume else []),
                    check=True, env=env, cwd=os.path.dirname(
                        os.path.dirname(os.path.abspath(__file__))))
 
     report = {"backend": backend, "seeds": list(SEEDS), "bars": args.bars,
               "temperature": temp,
+              "quantize_volume": args.quantize_volume,
               "params_source": ("random-init" if args.random_init
                                 else args.params)}
     report["xla_vs_cpu"] = compare_dirs(
         os.path.join(out, f"{backend}-xla"), os.path.join(out, "cpu"))
     if backend == "tpu":
-        report["fused_vs_cpu"] = compare_dirs(
-            os.path.join(out, f"{backend}-fused"), os.path.join(out, "cpu"))
+        if not args.quantize_volume:
+            report["fused_vs_cpu"] = compare_dirs(
+                os.path.join(out, f"{backend}-fused"),
+                os.path.join(out, "cpu"))
         report["bf16_vs_cpu"] = compare_dirs(
             os.path.join(out, f"{backend}-bf16"), os.path.join(out, "cpu"))
     with open(os.path.join(out, "FIDELITY.json"), "w") as f:
