@@ -328,7 +328,33 @@ def load_keras_weights(path: str, cfg: Config) -> Params:
 
         # Keras depth order puts the unnamed groups in module order (see
         # docstring): denses = time 0, time 1, note 0, note 1; same for the
-        # LSTMs.  Shapes are validated, so a reordered file fails loudly.
+        # LSTMs.  Belt and braces: at the reference dims every slot has a
+        # DISTINCT kernel shape, so assign by expected shape first and only
+        # fall back to file order when shapes collide (a reordered but
+        # shape-unambiguous file still loads; a genuinely ambiguous one
+        # follows Keras order and is shape-validated loudly below).
+        def assign(pool, expected_shapes):
+            if sorted(map(tuple, expected_shapes)) != sorted(
+                    set(map(tuple, expected_shapes))):
+                return list(pool)            # colliding dims: keep order
+            out, rest = [], list(pool)
+            for shape in expected_shapes:
+                i = next((i for i, w in enumerate(rest)
+                          if w[0].shape == shape), None)
+                if i is None:
+                    return list(pool)        # unmatched: keep order
+                out.append(rest.pop(i))
+            return out
+
+        denses = assign(denses, [(cfg.style_units, time_in[0]),
+                                 (cfg.style_units, time_in[1]),
+                                 (cfg.style_units, note_in[0]),
+                                 (cfg.style_units, note_in[1])])
+        lstms = assign(lstms, [(time_in[0], 4 * cfg.time_axis_units),
+                               (time_in[1], 4 * cfg.time_axis_units),
+                               (note_in[0], 4 * cfg.note_axis_units),
+                               (note_in[1], 4 * cfg.note_axis_units)])
+
         time_axis = tuple(
             AxisLayer(
                 style_proj=dense(denses[l], cfg.style_units, time_in[l],

@@ -217,6 +217,23 @@ def test_import_dedupes_shared_layers(tmp_path):
     _assert_leaf_equal(src, load_keras_weights(path, CFG))
 
 
+def test_import_is_order_robust_when_shapes_disambiguate(tmp_path):
+    """Every dense/LSTM slot has a distinct kernel shape at DeepJ dims, so
+    a checkpoint whose weighted groups appear in a DIFFERENT order (e.g.
+    saved by a Keras version with different depth tie-breaking) still
+    imports correctly via shape-first assignment."""
+    src = init_params(jax.random.key(21), CFG)
+    path = str(tmp_path / "model.h5")
+    _write_genuine_keras_h5(path, src)
+    with h5py.File(path, "a") as f:
+        names = list(f.attrs["layer_names"])
+        weighted = [n for n in names
+                    if len(f[n.decode()].attrs["weight_names"])]
+        rest = [n for n in names if n not in weighted]
+        f.attrs["layer_names"] = np.array(rest + weighted[::-1])
+    _assert_leaf_equal(src, load_keras_weights(path, CFG))
+
+
 def test_import_rejects_wrong_architecture(tmp_path):
     src = init_params(jax.random.key(1), CFG)
     path = str(tmp_path / "model.h5")
