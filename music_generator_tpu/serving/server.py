@@ -97,7 +97,11 @@ class GenerationService:
         parallel-generation geometry) exposed at the serving layer.
         Returns a list of .mid byte strings.  Note: the PRNG stream is
         shared across the batch, so a piece's bytes are deterministic in
-        (params, seed, bars, temperature, batch composition, index)."""
+        (params, seed, bars, temperature, batch composition, index) PLUS
+        the padded batch shape — the power-of-two bucket below and, on a
+        multi-chip host, the sampler's pad to mesh divisibility.  Within
+        one deployment bytes are reproducible; across deployments with
+        different device counts they can differ."""
         cfg = self.cfg
         if not mixtures or len(mixtures) > 64:
             raise ValueError("1..64 mixtures per request")
@@ -109,8 +113,10 @@ class GenerationService:
         # The sampler compiles one executable per generation-batch shape;
         # through this box's relay a new shape costs minutes with the lock
         # held.  Pad to power-of-two buckets so at most 7 shapes ever
-        # compile (1, 2, 4, ..., 64); outputs depend on (request, bucket),
-        # both deterministic from the request itself.
+        # compile (1, 2, 4, ..., 64); outputs depend on (request, padded
+        # shape) — the bucket here plus any mesh-divisibility pad the
+        # sampler adds on multi-chip hosts (see the docstring's
+        # determinism note).
         G = len(styles)
         bucket = 1
         while bucket < G:

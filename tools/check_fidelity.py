@@ -155,9 +155,20 @@ def main(argv=None):
         return
 
     # Default trained-certification input: the committed checkpoint.  A
-    # params.npz already in <out> is kept (pre-seeding wins); --random-init
-    # skips seeding so generate_suite materializes fresh params.
-    if not os.path.exists(params_npz) and not args.random_init:
+    # params.npz already in <out> is kept (pre-seeding wins) — but only
+    # for the DEFAULT params selection: silently certifying stale params
+    # under an explicit --random-init/--params (and then recording the
+    # wrong params_source) would publish a mislabeled report.
+    preseeded = os.path.exists(params_npz)
+    params_source = ("random-init" if args.random_init
+                     else f"{params_npz} (pre-seeded)" if preseeded
+                     else args.params)
+    if preseeded and (args.random_init or args.params != TRAINED_PARAMS):
+        raise SystemExit(
+            f"{params_npz} already exists and would override the explicit "
+            f"--{'random-init' if args.random_init else 'params'} — remove "
+            f"it or choose a fresh --out")
+    if not preseeded and not args.random_init:
         if not os.path.exists(args.params):
             raise SystemExit(f"--params file not found: {args.params}")
         import shutil
@@ -192,8 +203,7 @@ def main(argv=None):
     report = {"backend": backend, "seeds": list(SEEDS), "bars": args.bars,
               "temperature": temp,
               "quantize_volume": args.quantize_volume,
-              "params_source": ("random-init" if args.random_init
-                                else args.params)}
+              "params_source": params_source}
     report["xla_vs_cpu"] = compare_dirs(
         os.path.join(out, f"{backend}-xla"), os.path.join(out, "cpu"))
     if backend == "tpu":

@@ -53,7 +53,7 @@ def measure_step_ms(cfg, steps: int, warmup: int) -> float:
     step = make_train_step(model, opt, mesh)
     batch = shard_batch(mesh, random_batch(cfg, rolled_targets=True))
 
-    for _ in range(warmup):
+    for _ in range(max(1, warmup)):      # >=1: the readback below needs it
         state, metrics = step(state, batch)
     float(metrics["loss"])          # real host readback (relay can ack early)
 
@@ -115,6 +115,21 @@ def main(argv=None):
 
     cfg = default_config().replace(batch_size=args.batch)
 
+    # Validate the geometry BEFORE burning three multi-minute on-chip
+    # compiles: the fit needs the halved tiling to actually change the
+    # invocation count (it doesn't for batch >= 256), and both stacks must
+    # agree on tile rows (they don't for batches like 40).
+    try:
+        i_base, r_base = invocations_per_step(cfg, 256)
+        i_half, r_half = invocations_per_step(cfg, 128)
+    except AssertionError as e:
+        raise SystemExit(f"unsupported --batch geometry: {e}")
+    if i_half == i_base:
+        raise SystemExit(
+            f"--batch {args.batch}: halving MAX_TILE_ROWS does not change "
+            f"the tiling (batch rows already exceed the cap), so the "
+            f"overhead fit is undefined — use a batch < 256")
+
     report = {"batch": args.batch, "steps": args.steps}
     report.update(tape_accounting(cfg))
 
@@ -137,8 +152,6 @@ def main(argv=None):
         pallas_biax.HARD_GATES = False
         _reset_kernel_caches()
 
-    i_base, r_base = invocations_per_step(cfg, 256)
-    i_half, r_half = invocations_per_step(cfg, 128)
     a_us = (t_half - t_base) * 1000.0 / (i_half - i_base)
     b_ns = (t_base * 1e6 / i_base - a_us * 1000.0) / r_base
 
