@@ -82,6 +82,29 @@ def test_trained_checkpoint_is_style_faithful(flagship):
         assert own >= 0.8, f"style {s}: own-scale overlap {own:.3f}"
 
 
+def test_real_corpus_samples_regenerate_byte_identically(flagship, tmp_path):
+    """artifacts/real_corpus_r3/ — the model trained on the reference's
+    nine REAL published pieces (docs/TRAINING.md "Real-corpus training"):
+    its TPU-generated samples reproduce byte-for-byte on CPU from the
+    committed weights (16 bars, seed 0, T=0.75, styles 0/3/9 — the first
+    composer slot of each genre)."""
+    cfg, model = flagship
+    art = os.path.join(os.path.dirname(ART), "real_corpus_r3")
+    params = _load_npz(model, os.path.join(art, "params.npz"))
+    sampler = Sampler(model, params)
+    sids = [0, 3, 9]
+    res = sampler.generate([one_hot(s, cfg.num_styles) for s in sids],
+                           num_bars=16, seed=0, temperature=0.75)
+    for i in range(3):
+        out = tmp_path / f"regen_{i}.mid"
+        write_midifile(str(out),
+                       midi_encode(unclamp_midi(np.asarray(res.notes[i]),
+                                                cfg), config=cfg))
+        published = os.path.join(art, f"real_trained_{i}.mid")
+        assert out.read_bytes() == open(published, "rb").read(), \
+            f"real_trained_{i}.mid does not regenerate byte-identically"
+
+
 def test_published_short_samples_regenerate_byte_identically(
         flagship, tmp_path):
     """artifacts/short_samples_r2/short_s0_*.mid were generated on the TPU
