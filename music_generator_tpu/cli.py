@@ -145,11 +145,23 @@ def analyze_main(argv=None) -> None:
 def visualize_main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         description="Exports style embeddings for projector.tensorflow.org.")
-    parser.parse_args(argv)
+    parser.add_argument("--from-keras", type=str, default=None,
+                        metavar="MODEL_H5",
+                        help="Visualize a reference (Keras 2) model.h5's "
+                             "style embeddings instead of this framework's "
+                             "checkpoint — a migrating user gets their TSVs "
+                             "without converting anything first")
+    args = parser.parse_args(argv)
 
     cfg = default_config()
     model = DeepJ(cfg)
-    params, _ = build_or_load(model)
+    if args.from_keras:
+        from music_generator_tpu.training.keras_import import (
+            load_keras_weights)
+        params = load_keras_weights(args.from_keras, cfg)
+        print(f"Loaded Keras weights from {args.from_keras}")
+    else:
+        params, _ = build_or_load(model)
 
     # Run the shared 'style' embedding layer on the identity over all styles
     # (ref: visualize.py:16-23) — a single jnp matmul here.

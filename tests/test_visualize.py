@@ -41,3 +41,23 @@ def test_visualize_writes_correct_tsvs(tmp_path, monkeypatch):
         for style_dir in styles:
             assert rows[i] == [genre, os.path.basename(style_dir)]
             i += 1
+
+
+def test_visualize_from_keras(tmp_path, monkeypatch):
+    """--from-keras: a reference user's model.h5 drives the TSVs directly
+    (the committed trained artifact doubles as the genuine-layout
+    fixture)."""
+    import pytest
+    pytest.importorskip("h5py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h5 = os.path.join(repo, "artifacts", "trained_model_r3", "model.h5")
+    monkeypatch.chdir(tmp_path)
+    visualize_main(["--from-keras", h5])
+
+    cfg = default_config()
+    vec = np.loadtxt("out/style_embedding_vec.tsv", delimiter="\t")
+    from music_generator_tpu.training.keras_import import load_keras_weights
+    params = load_keras_weights(h5, cfg)
+    expected = np.asarray(DeepJ(cfg).style_embedding(
+        params, np.identity(cfg.num_styles, dtype=np.float32)))
+    np.testing.assert_allclose(vec, expected, atol=1e-4)
