@@ -227,11 +227,23 @@ def serve_main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="DeepJ generation server.")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8732)
+    parser.add_argument("--from-keras", type=str, default=None,
+                        metavar="MODEL_H5",
+                        help="Serve a reference (Keras 2) model.h5 "
+                             "directly instead of this framework's "
+                             "checkpoint")
     args = parser.parse_args(argv)
 
     from music_generator_tpu.utils.compile_cache import enable
     enable()
-    service = GenerationService()
+    params = None
+    if args.from_keras:
+        from music_generator_tpu.config import default_config
+        from music_generator_tpu.training.keras_import import (
+            load_keras_weights)
+        params = load_keras_weights(args.from_keras, default_config())
+        print(f"Loaded Keras weights from {args.from_keras}")
+    service = GenerationService(params=params)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(service))
     print(f"serving on http://{args.host}:{args.port}")
