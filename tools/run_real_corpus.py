@@ -29,6 +29,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_DIR = "/root/reference/archives/v1/long_samples"
+GENRE_NAMES = ["Baroque", "Classical", "Romantic"]
+
+
+def stage_real_corpus(cfg, root="."):
+    """Copy the reference's nine real pieces into the stock
+    data/<genre>/<composer> taxonomy under `root` (first composer slot of
+    each genre).  Returns (style_ids, {style_id: [staged paths]})."""
+    style_ids, genre_files = [], {}
+    flat = 0
+    for g, composers in enumerate(cfg.styles):
+        style_ids.append(flat)
+        d = os.path.join(root, composers[0])
+        os.makedirs(d, exist_ok=True)
+        files = sorted(glob.glob(os.path.join(REF_DIR,
+                                              f"{GENRE_NAMES[g]} *.mid")))
+        assert len(files) == 3, files
+        genre_files[flat] = []
+        for f in files:
+            dst = os.path.join(d, os.path.basename(f).replace(" ", "_"))
+            shutil.copy(f, dst)
+            genre_files[flat].append(dst)
+        flat += len(composers)
+    return style_ids, genre_files
 
 
 def main(argv=None):
@@ -66,22 +89,8 @@ def main(argv=None):
     # Stage each genre's three pieces under the genre's FIRST composer
     # directory of the stock taxonomy, so style conditioning uses the
     # config's real one-hot slots.
-    genre_names = ["Baroque", "Classical", "Romantic"]
-    style_ids, genre_files = [], {}
-    flat = 0
-    for g, composers in enumerate(cfg.styles):
-        style_ids.append(flat)
-        d = composers[0]
-        os.makedirs(d, exist_ok=True)
-        files = sorted(glob.glob(os.path.join(REF_DIR,
-                                              f"{genre_names[g]} *.mid")))
-        assert len(files) == 3, files
-        genre_files[flat] = []
-        for f in files:
-            dst = os.path.join(d, os.path.basename(f).replace(" ", "_"))
-            shutil.copy(f, dst)
-            genre_files[flat].append(dst)
-        flat += len(composers)
+    genre_names = GENRE_NAMES
+    style_ids, genre_files = stage_real_corpus(cfg)
 
     t0 = time.time()
     ds = load_all(config=cfg)
