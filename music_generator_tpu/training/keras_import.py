@@ -47,10 +47,13 @@ Two facts about that layout that a naive importer gets wrong:
    the style-projection denses BEFORE the LSTMs of the same block (the
    style path is shorter, so the denses sit deeper).  Reference-side
    `load_weights` matches weighted groups to weighted layers positionally,
-   so `save_keras_weights` must reproduce exactly this order; the loader
-   here also relies on it to assign the four unnamed denses / four LSTMs to
-   time layer 0/1 then note layer 0/1 (every kernel shape is additionally
-   validated against `cfg`, so a misassignment fails loudly).
+   so `save_keras_weights` must reproduce exactly this order.  The loader
+   here assigns the four unnamed denses / four LSTMs by EXPECTED KERNEL
+   SHAPE first (every slot is distinct at DeepJ dims, so a file saved by
+   a Keras version with different depth tie-breaking still imports) and
+   falls back to this file order when a config's dims collide; every
+   kernel shape is additionally validated against `cfg`, so a
+   misassignment fails loudly.
 
 Keras LSTM gate order is i, f, c(g), o — identical to ops/pallas_lstm's
 `_gate_slices` — and kernels are stored [in, 4H] / recurrent [H, 4H], so
