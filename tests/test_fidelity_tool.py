@@ -47,3 +47,32 @@ def test_compare_dirs_detects_byte_differences(tmp_path):
     (a / "diff.mid").write_bytes(b"\x00\x01\x02\x04")
     r = compare_dirs(str(a), str(b))
     assert r["identical"] and r["mismatches"] == []
+
+
+def test_preseeded_params_cannot_override_explicit_flags(tmp_path):
+    """A stale pre-seeded <out>/params.npz must not silently win over an
+    explicit --random-init or --params (it would mislabel the published
+    report's params_source) — both are rejected before any generation."""
+    import pytest
+    from tools.check_fidelity import main as fid_main
+
+    out = tmp_path / "fid"
+    out.mkdir()
+    (out / "params.npz").write_bytes(b"stale")
+    with pytest.raises(SystemExit, match="random-init"):
+        fid_main(["--out", str(out), "--random-init"])
+    with pytest.raises(SystemExit, match="params"):
+        fid_main(["--out", str(out), "--params", str(tmp_path / "x.npz")])
+
+
+def test_probe_rejects_unsupported_batch_geometry():
+    """tools/tpu_probe_ceiling validates the cost-model geometry BEFORE
+    burning on-chip compiles: batch >= 256 leaves the tiling unchanged
+    (fit undefined); batch 40 gives the two stacks different tile rows."""
+    import pytest
+    from tools.tpu_probe_ceiling import main as probe_main
+
+    with pytest.raises(SystemExit, match="does not change the tiling"):
+        probe_main(["--batch", "256", "--steps", "1"])
+    with pytest.raises(SystemExit, match="unsupported --batch geometry"):
+        probe_main(["--batch", "40", "--steps", "1"])
