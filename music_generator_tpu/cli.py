@@ -87,10 +87,17 @@ def generate_main(argv=None) -> None:
                         help="Load weights from a reference (Keras 2) "
                              "model.h5 instead of this framework's "
                              "checkpoint")
+    parser.add_argument("--quantize-volume", action="store_true",
+                        help="Snap sampled volumes to the 1/127 MIDI "
+                             "velocity grid (opt-in deviation #9, "
+                             "docs/MIGRATION.md — changes the sampled "
+                             "bytes vs the default raw copy-through)")
     args = parser.parse_args(argv)
 
     _enable_compile_cache()
     cfg = default_config()
+    if args.quantize_volume:
+        cfg = cfg.replace(gen_volume_quantize=True)
     model = DeepJ(cfg)
     if args.from_keras:
         from music_generator_tpu.training.keras_import import (
