@@ -108,13 +108,19 @@ def bench_generate(cfg, args, batch):
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64,
-                        help="global batch size (train)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="global batch size (train; default 16 — the "
+                             "reference geometry, which measures FASTEST "
+                             "post-fusion: 195k vs 178k ts/s at B=64, "
+                             "docs/PERFORMANCE.md round-3 note)")
     parser.add_argument("--gen-batch", type=int, default=None,
                         help="parallel generations (BASELINE config 4); "
                              "defaults to --batch in --mode generate, else "
                              "64")
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=60,
+                        help="timed train steps (B=16 steps are ~10 ms, so "
+                             "60 keeps the timed window well above relay "
+                             "noise)")
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--gen-bars", type=int, default=16,
                         help="bars per generation rep: long enough that "
@@ -135,13 +141,15 @@ def main(argv=None):
 
     from music_generator_tpu.config import default_config
 
-    cfg = default_config().replace(batch_size=args.batch,
+    train_batch = args.batch if args.batch is not None else 16
+    cfg = default_config().replace(batch_size=train_batch,
                                    lstm_kernel=args.kernel)
 
     # Round-1 compatibility: `--mode generate --batch G` set the generation
     # batch; keep honoring it unless --gen-batch is explicit.
     gen_batch = args.gen_batch if args.gen_batch is not None else (
-        args.batch if args.mode == "generate" else 64)
+        args.batch if args.mode == "generate" and args.batch is not None
+        else 64)
 
     results = []
     if args.mode in ("all", "generate"):
