@@ -42,7 +42,13 @@ class GenerationService:
     """Model + sampler with a serialized-execution lock."""
 
     def __init__(self, config: Optional[Config] = None, params=None,
-                 warmup: bool = True):
+                 warmup: bool = True, max_batch: int = 64):
+        # Batch cap: each power-of-two bucket up to it compiles one
+        # executable (minutes through this box's relay), so the default
+        # stays at BASELINE config 4's 64; throughput-oriented deployments
+        # can raise it (aggregate sampling throughput still grows at
+        # G=256 — docs/PERFORMANCE.md "Generation batch scaling").
+        self.max_batch = int(max_batch)
         self.cfg = config or default_config()
         self.model = DeepJ(self.cfg)
         if params is None:
@@ -103,8 +109,8 @@ class GenerationService:
         one deployment bytes are reproducible; across deployments with
         different device counts they can differ."""
         cfg = self.cfg
-        if not mixtures or len(mixtures) > 64:
-            raise ValueError("1..64 mixtures per request")
+        if not mixtures or len(mixtures) > self.max_batch:
+            raise ValueError(f"1..{self.max_batch} mixtures per request")
         bars = max(1, min(int(bars), 4096))
         temperature = float(temperature)
         if not 0.0 < temperature <= 100.0:
@@ -232,6 +238,11 @@ def serve_main(argv=None) -> None:
                         help="Serve a reference (Keras 2) model.h5 "
                              "directly instead of this framework's "
                              "checkpoint")
+    parser.add_argument("--max-batch", type=int, default=64,
+                        help="largest /generate_batch request (each "
+                             "power-of-two bucket up to it compiles one "
+                             "executable; raise for throughput-oriented "
+                             "serving — docs/PERFORMANCE.md)")
     args = parser.parse_args(argv)
 
     from music_generator_tpu.utils.compile_cache import enable
@@ -243,7 +254,7 @@ def serve_main(argv=None) -> None:
             load_keras_weights)
         params = load_keras_weights(args.from_keras, default_config())
         print(f"Loaded Keras weights from {args.from_keras}")
-    service = GenerationService(params=params)
+    service = GenerationService(params=params, max_batch=args.max_batch)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(service))
     print(f"serving on http://{args.host}:{args.port}")
