@@ -20,3 +20,14 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Build the native MIDI decoder if it isn't there (fresh clones): the
+# differential Python-vs-C++ byte-equality tests would otherwise SKIP
+# silently and the native coverage would vanish from CI.  Best-effort —
+# a missing toolchain degrades back to the documented skip.
+_native_so = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "libdeepj_midi.so")
+if not os.path.exists(_native_so):
+    import subprocess
+    subprocess.run(["make", "-C", os.path.dirname(_native_so)],
+                   check=False, capture_output=True)
