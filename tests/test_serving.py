@@ -157,3 +157,31 @@ def _post_path(url, path, payload):
         url + path, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
     return urllib.request.urlopen(req, timeout=120)
+
+
+def test_concurrent_requests_serialize_correctly(server):
+    """Hammer /generate from several threads at once: the service's lock
+    serializes device work, every request succeeds, and each response is
+    byte-identical to its sequential counterpart (no cross-request state
+    leaks through the shared sampler)."""
+    seeds = [11, 12, 13, 14]
+    expected = {s: _post(server, {"genre": 0, "bars": 1, "seed": s}).read()
+                for s in seeds}
+
+    results, errors = {}, []
+
+    def hit(seed):
+        try:
+            results[seed] = _post(
+                server, {"genre": 0, "bars": 1, "seed": seed}).read()
+        except Exception as e:       # noqa: BLE001 — record, assert below
+            errors.append((seed, e))
+
+    threads = [threading.Thread(target=hit, args=(s,)) for s in seeds * 2]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    for s in seeds:
+        assert results[s] == expected[s]
