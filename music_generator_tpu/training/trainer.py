@@ -276,6 +276,12 @@ class Trainer:
         HBM staging budget."""
         tc = self.tc
         profile_dir = os.path.join(self.cfg.log_dir, "profile")
+        # Clamp the profiled window to the epoch's actual step count — on a
+        # tiny corpus with fewer than profile_start steps the trace would
+        # otherwise never start (a silent no-op).
+        n_steps = -(-len(ds) // batch_size)
+        p_start = min(tc.profile_start, max(n_steps - 1, 0))
+        p_stop = max(min(tc.profile_stop, n_steps), p_start + 1)
         epoch_losses = []
         meter.reset()
         staged = prefetch(
@@ -283,9 +289,9 @@ class Trainer:
             lambda b: shard_batch(self.mesh, b))
         for bi, batch in enumerate(staged):
             if tc.profile and epoch == 0:
-                if bi == tc.profile_start:
+                if bi == p_start:
                     jax.profiler.start_trace(profile_dir)
-                elif bi == tc.profile_stop:
+                elif bi == p_stop:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
             self.state, metrics = self.train_step(self.state, batch)
@@ -297,13 +303,13 @@ class Trainer:
                 m["timesteps_per_sec"] = meter.rate()
                 logger.log(int(self.state.step), m)
 
-        if tc.profile and epoch == 0 and len(epoch_losses) <= tc.profile_stop:
-            # Epoch ended before profile_stop batches: close the trace.
+        if tc.profile and epoch == 0 and len(epoch_losses) <= p_stop:
+            # Epoch ended before p_stop batches: close the trace.
             try:
                 jax.profiler.stop_trace()
             except RuntimeError:
                 pass
-            if len(epoch_losses) > tc.profile_start:
+            if len(epoch_losses) > p_start:
                 print(f"profiler trace written to {profile_dir}")
         return [float(l) for l in epoch_losses]
 
