@@ -48,6 +48,8 @@ class GenerationService:
         # stays at BASELINE config 4's 64; throughput-oriented deployments
         # can raise it (aggregate sampling throughput still grows at
         # G=256 — docs/PERFORMANCE.md "Generation batch scaling").
+        if int(max_batch) < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.max_batch = int(max_batch)
         self.cfg = config or default_config()
         self.model = DeepJ(self.cfg)
@@ -118,15 +120,18 @@ class GenerationService:
         styles = [np.asarray(m, np.float32) for m in mixtures]
         # The sampler compiles one executable per generation-batch shape;
         # through this box's relay a new shape costs minutes with the lock
-        # held.  Pad to power-of-two buckets so at most 7 shapes ever
-        # compile (1, 2, 4, ..., 64); outputs depend on (request, padded
-        # shape) — the bucket here plus any mesh-divisibility pad the
-        # sampler adds on multi-chip hosts (see the docstring's
-        # determinism note).
+        # held.  Pad to power-of-two buckets, capped at max_batch, so at
+        # most log2(max_batch)+1 shapes ever compile (1, 2, ..., 64 at the
+        # default cap; a non-power-of-two cap adds itself as the top
+        # bucket so padding never exceeds what the operator configured).
+        # Outputs depend on (request, padded shape) — the bucket here plus
+        # any mesh-divisibility pad the sampler adds on multi-chip hosts
+        # (see the docstring's determinism note).
         G = len(styles)
         bucket = 1
         while bucket < G:
             bucket *= 2
+        bucket = min(bucket, self.max_batch)     # G <= max_batch, so >= G
         padded = styles + [styles[-1]] * (bucket - G)
         with self._lock:
             result = self._sampler.generate(padded, num_bars=bars,

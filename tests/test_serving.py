@@ -182,6 +182,8 @@ def test_concurrent_requests_serialize_correctly(server):
         t.start()
     for t in threads:
         t.join(timeout=300)
+    hung = [t for t in threads if t.is_alive()]
+    assert not hung, f"{len(hung)} requests still running after join timeout"
     assert not errors, errors
     for s in seeds:
         assert results[s] == expected[s]

@@ -92,6 +92,11 @@ def main(argv=None):
                                                   patience=args.patience))
         t0 = time.time()
         history = trainer.fit(ds)
+        # Evaluate the BEST checkpoint, not the early-stop-degraded final
+        # state (round-3 review fix; the committed r2 matrices were
+        # measured pre-fix — their 20x-scale effects dwarf the
+        # few-percent best-vs-final delta).
+        assert trainer.maybe_restore(), "best checkpoint must restore"
         results[name] = {
             "transpose_augment": k,
             "windows": len(ds),

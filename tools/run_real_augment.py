@@ -14,7 +14,6 @@ Run on the TPU box:  python tools/run_real_augment.py --run-dir runs/realaug
 """
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -53,16 +52,23 @@ def main(argv=None):
     stage_real_corpus(base_cfg, corpus)
 
     results, trainers = {}, {}
+    ds0 = None
     for name, k in (("baseline", 0), ("augmented", args.augment)):
         cfg = base_cfg.replace(out_dir=os.path.join(run_dir, name, "out"),
                                transpose_augment=k)
         os.chdir(corpus)
         ds = load_all(config=cfg)
+        if k == 0:
+            ds0 = ds          # the unaugmented windows double as eval base
         print(f"[{name}] {len(ds)} training windows (transpose_augment={k})")
         trainer = Trainer(DeepJ(cfg), TrainConfig(epochs=args.epochs,
                                                   patience=args.patience))
         t0 = time.time()
         history = trainer.fit(ds)
+        # Score the BEST checkpoint fit() saved — after early stop the
+        # in-memory state is `patience` degraded epochs past it, and the
+        # report's best_loss describes the checkpoint.
+        assert trainer.maybe_restore(), "best checkpoint must restore"
         results[name] = {
             "transpose_augment": k,
             "windows": len(ds),
@@ -76,9 +82,6 @@ def main(argv=None):
               f"{min(history['loss']):.4f} in {len(history['loss'])} epochs")
 
     # --- invariance matrix: the real windows, shifted in-memory ----------
-    os.chdir(corpus)
-    ds0 = load_all(config=base_cfg.replace(
-        out_dir=os.path.join(run_dir, "eval_out")))
     matrix = {name: {} for name in trainers}
     for shift in (-1, 0, 1):
         ds_s = Dataset(
