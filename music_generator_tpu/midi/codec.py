@@ -264,7 +264,11 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
     never invalidates) a cache entry not strictly newer than its source
     file is re-decoded rather than silently served stale — `<=` so a
     source rewritten within the same filesystem-timestamp tick as the
-    cache write still invalidates (costs one cheap re-decode on ties)."""
+    cache write still invalidates.  The conservative trade: while the two
+    mtimes stay tied (possible on every load under coarse timestamp
+    granularity, since each re-decode rewrites the cache) the file keeps
+    re-decoding — correctness over the cache hit; a decode is cheap and
+    ties vanish once the clock tick passes."""
     cfg = config or default_config()
     cache_path = os.path.join(cfg.cache_dir, fname + ".npy")
     try:

@@ -103,13 +103,12 @@ class GenerationService:
         """Generate one piece per style mixture in a SINGLE device call —
         the batch dimension of the on-device sampler (BASELINE config 4's
         parallel-generation geometry) exposed at the serving layer.
-        Returns a list of .mid byte strings.  Note: the PRNG stream is
-        shared across the batch, so a piece's bytes are deterministic in
-        (params, seed, bars, temperature, batch composition, index) PLUS
-        the padded batch shape — the power-of-two bucket below and, on a
-        multi-chip host, the sampler's pad to mesh divisibility.  Within
-        one deployment bytes are reproducible; across deployments with
-        different device counts they can differ."""
+        Returns a list of .mid byte strings.  Since deviation #10
+        (stream-indexed uniforms) a piece's bytes are deterministic in
+        (params, seed, bars, temperature, index) alone — independent of
+        the power-of-two bucket, mesh padding, and what else rides in the
+        request — so responses reproduce across deployments with
+        different device counts and batch caps."""
         cfg = self.cfg
         if not mixtures or len(mixtures) > self.max_batch:
             raise ValueError(f"1..{self.max_batch} mixtures per request")
@@ -124,9 +123,9 @@ class GenerationService:
         # most log2(max_batch)+1 shapes ever compile (1, 2, ..., 64 at the
         # default cap; a non-power-of-two cap adds itself as the top
         # bucket so padding never exceeds what the operator configured).
-        # Outputs depend on (request, padded shape) — the bucket here plus
-        # any mesh-divisibility pad the sampler adds on multi-chip hosts
-        # (see the docstring's determinism note).
+        # Padding is shape-only: stream-indexed uniforms (deviation #10)
+        # make the bytes independent of the bucket and of any
+        # mesh-divisibility pad the sampler adds on multi-chip hosts.
         G = len(styles)
         bucket = 1
         while bucket < G:

@@ -47,7 +47,12 @@ Two facts about that layout that a naive importer gets wrong:
    the style-projection denses BEFORE the LSTMs of the same block (the
    style path is shorter, so the denses sit deeper).  Reference-side
    `load_weights` matches weighted groups to weighted layers positionally,
-   so `save_keras_weights` must reproduce exactly this order.  The loader
+   so `save_keras_weights` must reproduce exactly this order.  This order
+   is not hand-derived: tests/keras_graph_oracle.py transcribes the
+   reference graph's topology and runs Keras 2.1.6's Container depth-sort
+   over it, and `REFERENCE_LAYER_TABLE` below is pinned equal to that
+   executable derivation
+   (test_layer_table_matches_graph_derivation).  The loader
    here assigns the four unnamed denses / four LSTMs by EXPECTED KERNEL
    SHAPE first (every slot is distinct at DeepJ dims, so a file saved by
    a Keras version with different depth tie-breaking still imports) and
@@ -288,8 +293,20 @@ def load_keras_weights(path: str, cfg: Config) -> Params:
                 seen_shared.add(ident)
             kind = _classify(name, weight_names, arrays)
             if kind in ("style", "note_dense", "volume_dense"):
-                named[kind] = _order_parts(
+                parts = _order_parts(
                     weight_names, arrays, {"kernel": 0, "bias": 1})
+                if kind in named:
+                    # A named layer saved under two groups: dedupe exactly
+                    # like the unnamed shared layers when the content
+                    # matches (the layer genuinely shared by two graphs),
+                    # reject conflicting duplicates instead of silently
+                    # keeping whichever comes last (advisor r3 finding).
+                    if all(np.array_equal(a, b)
+                           for a, b in zip(named[kind], parts)):
+                        continue
+                    raise ValueError(
+                        f"duplicate '{kind}' groups with different weights")
+                named[kind] = parts
             elif kind == "conv":
                 convs.append(_order_parts(
                     weight_names, arrays, {"kernel": 0, "bias": 1}))

@@ -92,14 +92,7 @@ def test_adaptive_temperature_rises_when_silent():
 
     styles = jnp.asarray(np.stack([compute_genre(0, CFG)]), jnp.float32)
     style_emb = sampler.model.style_embedding(params, styles)
-    from music_generator_tpu.generation.sampler import StepState
-    state = StepState(
-        time_state=model.init_time_state(1),
-        prev_note=jnp.zeros((1, CFG.num_notes, 3)),
-        temperature=jnp.ones((1,)),
-        base_temp=jnp.ones((1,)),
-        silent_time=jnp.full((1,), CFG.notes_per_bar, jnp.int32),
-        rng=jax.random.key(0))
+    state = sampler._init_state(1, jnp.uint32(0), 1.0)
     temps = []
     for t in range(4):
         state, _ = sampler._step(params, style_emb, state,
@@ -149,20 +142,20 @@ def test_mesh_sharded_generation_matches_unsharded():
     plain = Sampler(model, params).generate(styles, num_bars=1, seed=4)
     meshed = Sampler(model, params, mesh=make_mesh()).generate(
         styles, num_bars=1, seed=4)
-    # Partitioned execution reorders float accumulations, so volumes can
+    # Partitioned execution can reorder float accumulations, so volumes can
     # differ in the last few ULPs; the sampled events must match exactly.
-    # (Byte-identity is a per-mesh-config contract, not cross-config.)
     np.testing.assert_array_equal(plain.notes[..., :2], meshed.notes[..., :2])
     np.testing.assert_allclose(plain.notes[..., 2], meshed.notes[..., 2],
-                               atol=1e-3)
+                               atol=1e-5)
 
 
 def test_mesh_generation_pads_non_dividing_batch():
     """G=3 genre mixtures on an 8-device mesh (the CLI default on a
     v5e-8): the sampler pads the batch to mesh divisibility with copies of
-    the last style and slices the padding off — results are the ones a
-    plain run of the PADDED batch produces (the per-step uniform block is
-    shaped by the padded batch, so that is the parity oracle)."""
+    the last style and slices the padding off.  Since deviation #10 the
+    per-stream uniforms are indexed by global stream id, so the parity
+    oracle is the UNPADDED plain run — the auto-mesh default and the
+    certified single-device run sample the same pieces."""
     from music_generator_tpu.parallel.mesh import make_mesh
     model = DeepJ(CFG)
     params = init_params(jax.random.key(2), CFG)
@@ -172,13 +165,49 @@ def test_mesh_generation_pads_non_dividing_batch():
         styles, num_bars=1, seed=4)
     assert meshed.notes.shape[0] == 3 and meshed.styles.shape[0] == 3
 
-    padded = styles + [styles[-1]] * 5
-    plain = Sampler(model, params).generate(padded, num_bars=1, seed=4)
-    np.testing.assert_array_equal(plain.notes[:3, ..., :2],
+    plain = Sampler(model, params).generate(styles, num_bars=1, seed=4)
+    np.testing.assert_array_equal(plain.notes[..., :2],
                                   meshed.notes[..., :2])
-    np.testing.assert_allclose(plain.notes[:3, ..., 2],
-                               meshed.notes[..., 2], atol=1e-3)
-    np.testing.assert_array_equal(plain.styles[:3], meshed.styles)
+    np.testing.assert_allclose(plain.notes[..., 2],
+                               meshed.notes[..., 2], atol=1e-5)
+    np.testing.assert_array_equal(plain.styles, meshed.styles)
+
+
+def _mid_bytes(roll):
+    """Encode one [T, N, 3] roll to .mid bytes in memory."""
+    import io
+    from music_generator_tpu.data.dataset import unclamp_midi
+    from music_generator_tpu.midi.codec import midi_encode
+    buf = io.BytesIO()
+    midi.write_midifile(buf, midi_encode(unclamp_midi(np.asarray(roll), CFG),
+                                         config=CFG))
+    return buf.getvalue()
+
+
+def test_stream_rng_shape_and_composition_invariance():
+    """Deviation #10's contract, at the byte level: the same stream samples
+    the same .mid bytes whether it runs solo (G=1 at its stream_offset),
+    in the stock G=3 batch, padded to 8 without a mesh, or through the
+    8-device auto-mesh (the flagship v5e-8 default).  The uniforms are an
+    exact function of (seed, global stream index, t); the forward pass is
+    deterministic per backend, so this equality is pinned exactly."""
+    from music_generator_tpu.parallel.mesh import make_mesh
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(2), CFG)
+    styles = [compute_genre(i, CFG) for i in range(3)]
+    s = Sampler(model, params)
+
+    g3 = s.generate(styles, num_bars=2, seed=9)
+    ref_bytes = [_mid_bytes(g3.notes[i]) for i in range(3)]
+
+    pad8 = s.generate(styles, num_bars=2, seed=9, pad_to=8)
+    meshed = Sampler(model, params, mesh=make_mesh()).generate(
+        styles, num_bars=2, seed=9)
+    for i in range(3):
+        solo = s.generate([styles[i]], num_bars=2, seed=9, stream_offset=i)
+        assert _mid_bytes(solo.notes[0]) == ref_bytes[i], f"solo {i}"
+        assert _mid_bytes(pad8.notes[i]) == ref_bytes[i], f"pad8 {i}"
+        assert _mid_bytes(meshed.notes[i]) == ref_bytes[i], f"mesh {i}"
 
 
 def test_chunked_streaming_equals_monolithic(sampler):
@@ -279,15 +308,15 @@ def test_fused_gen_kernel_matches_scan_interpret():
     feats, _ = model_x.time_axis_step(
         params, jnp.zeros((2, CFG.num_notes, 3)),
         jnp.zeros((2, CFG.notes_per_bar)), emb, model_x.init_time_state(2))
-    rng = jax.random.key(21)
+    us = jax.random.uniform(jax.random.key(21), (2, CFG.num_notes, 2))
     # Both T=1 and a tempered run: the kernel must apply the same
     # division-form temperature math as apply_temperature (the hardware
     # byte-identity certification at --temperature 0.9 is the exact pin;
     # docs/FIDELITY.md).
     for t in (1.0, 0.9):
         temp = jnp.full((2,), t)
-        ref = s_x._note_scan(params, feats, emb, temp, rng)
+        ref = s_x._note_scan(params, feats, emb, temp, us)
         with pltpu.force_tpu_interpret_mode():
-            fused = s_f._note_scan(params, feats, emb, temp, rng)
+            fused = s_f._note_scan(params, feats, emb, temp, us)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
                                    atol=1e-4)

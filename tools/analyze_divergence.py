@@ -80,8 +80,11 @@ def main(argv=None):
                                    cfg.notes_per_bar) * (t > 0))[None]
             feats, time_state = model.time_axis_step(
                 params, state.prev_note, beat, style_emb, state.time_state)
-            rng, step_rng = jax.random.split(state.rng)
-            us = jax.random.uniform(step_rng, (1, cfg.num_notes, 2))
+            # Deviation #10 stream-indexed uniforms: fold_in(stream_key, t).
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(
+                state.stream_keys, jnp.int32(t))
+            us = jax.vmap(
+                lambda k: jax.random.uniform(k, (cfg.num_notes, 2)))(step_keys)
             if t == int(t0):
                 # Walk the pitch recurrence with A's choices up to the
                 # diverging pitch, then report p vs u there.
@@ -128,8 +131,7 @@ def main(argv=None):
                 time_state=time_state,
                 prev_note=jnp.asarray(row)[None],
                 temperature=jnp.full((1,), temp),
-                silent_time=jnp.full((1,), st, jnp.int32),
-                rng=rng)
+                silent_time=jnp.full((1,), st, jnp.int32))
 
 
 if __name__ == "__main__":

@@ -11,6 +11,15 @@ produce <out>/cpu/, byte-compares every file, and writes <out>/FIDELITY.json.
 Variants on TPU:
   xla    — the lax.scan pitch loop (the same code path CPU uses)
   fused  — the Pallas fused pitch-loop kernel (opt-in)
+  padded — xla path with the batch padded to 8 (the mesh-divisibility /
+           serving-bucket shape); byte-equal to unpadded since the
+           stream-indexed RNG (deviation #10)
+
+Plus a second CPU child running under an 8-device virtual mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) through the SAME
+auto-mesh sharded path a v5e-8 user hits by default — certifying that the
+flagship multi-chip default emits the certified bytes (VERDICT r3 weak
+#2/#3 closed).
 
 Run from /root/repo:  python tools/check_fidelity.py --out runs/fidelity
 """
@@ -53,8 +62,11 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
                    quantize_volume: bool = False) -> None:
     """Generate the seed/style matrix into out_dir with the given variant:
     'xla' (the default scan path), 'fused' (the Pallas pitch-loop kernel),
-    or 'bf16' (the no-discipline control: bf16 compute, default matmul
-    precision)."""
+    'bf16' (the no-discipline control: bf16 compute, default matmul
+    precision), 'padded' (xla with the batch padded to 8 — the
+    mesh-divisibility / serving-bucket shape), or 'mesh8' (the auto-mesh
+    sharded path over all local devices — run it in a child with 8 virtual
+    CPU devices to exercise the v5e-8 default)."""
     import jax
     import numpy as np
 
@@ -67,7 +79,7 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
     from music_generator_tpu.utils import one_hot
 
     cfg = default_config().replace(
-        lstm_kernel="xla" if variant in ("xla", "bf16") else "auto",
+        lstm_kernel="auto" if variant == "fused" else "xla",
         fused_gen_kernel=(variant == "fused"),
         gen_volume_quantize=quantize_volume)
     if variant == "bf16":
@@ -85,7 +97,12 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
         params = init_params(jax.random.key(0), cfg)
         _params_to_npz(params, params_npz)
 
-    sampler = Sampler(model, params)
+    mesh = None
+    if variant == "mesh8":
+        from music_generator_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+    sampler = Sampler(model, params, mesh=mesh)
+    pad_to = 8 if variant == "padded" else None
     os.makedirs(out_dir, exist_ok=True)
     print(f"[{jax.default_backend()}/{variant}] generating into {out_dir}")
     for seed in SEEDS:
@@ -95,7 +112,7 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
                             ("genres", [compute_genre(g, cfg)
                                         for g in range(3)])):
             result = sampler.generate(styles, num_bars=bars, seed=seed,
-                                      temperature=temperature)
+                                      temperature=temperature, pad_to=pad_to)
             for i in range(result.notes.shape[0]):
                 mf = midi_encode(unclamp_midi(result.notes[i], cfg),
                                  config=cfg)
@@ -139,19 +156,27 @@ def main(argv=None):
                              "(deviation #9): volumes snapped to the 1/127 "
                              "velocity grid during sampling")
     parser.add_argument("--phase", default="main",
-                        choices=["main", "cpu-child"])
+                        choices=["main", "cpu-child", "cpu-mesh-child"])
     args = parser.parse_args(argv)
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
     params_npz = os.path.join(out, "params.npz")
 
     temp = args.temperature
-    if args.phase == "cpu-child":
+    if args.phase in ("cpu-child", "cpu-mesh-child"):
         import jax
         jax.config.update("jax_platforms", "cpu")
         assert jax.default_backend() == "cpu"
-        generate_suite(os.path.join(out, "cpu"), "xla", params_npz, temp,
-                       args.bars, args.quantize_volume)
+        if args.phase == "cpu-mesh-child":
+            # The v5e-8 default path on 8 virtual CPU devices (the parent
+            # sets xla_force_host_platform_device_count=8): auto-mesh
+            # sharded generation with the G=1/G=3 batches padded to 8.
+            assert jax.device_count() == 8, jax.device_count()
+            generate_suite(os.path.join(out, "cpu-mesh8"), "mesh8",
+                           params_npz, temp, args.bars, args.quantize_volume)
+        else:
+            generate_suite(os.path.join(out, "cpu"), "xla", params_npz, temp,
+                           args.bars, args.quantize_volume)
         return
 
     # Default trained-certification input: the committed checkpoint.  A
@@ -182,6 +207,8 @@ def main(argv=None):
     print("primary backend:", backend)
     generate_suite(os.path.join(out, f"{backend}-xla"), "xla", params_npz,
                    temp, args.bars, args.quantize_volume)
+    generate_suite(os.path.join(out, f"{backend}-padded"), "padded",
+                   params_npz, temp, args.bars, args.quantize_volume)
     if backend == "tpu":
         if not args.quantize_volume:
             # The fused kernel has no quantization path (sampler falls
@@ -191,14 +218,20 @@ def main(argv=None):
         generate_suite(os.path.join(out, f"{backend}-bf16"), "bf16",
                        params_npz, temp, args.bars, args.quantize_volume)
 
-    # CPU oracle in a child process (the backend can't change in-process).
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-    subprocess.run([sys.executable, os.path.abspath(__file__),
-                    "--out", out, "--phase", "cpu-child",
-                    "--temperature", str(temp), "--bars", str(args.bars)]
-                   + (["--quantize-volume"] if args.quantize_volume else []),
-                   check=True, env=env, cwd=os.path.dirname(
-                       os.path.dirname(os.path.abspath(__file__))))
+    # CPU oracle + the 8-virtual-device auto-mesh path, each in a child
+    # process (the backend / device count can't change in-process).
+    base_env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    common = [sys.executable, os.path.abspath(__file__), "--out", out,
+              "--temperature", str(temp), "--bars", str(args.bars)] \
+        + (["--quantize-volume"] if args.quantize_volume else [])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(common + ["--phase", "cpu-child"],
+                   check=True, env=base_env, cwd=repo)
+    mesh_env = dict(base_env)
+    mesh_env["XLA_FLAGS"] = (mesh_env.get("XLA_FLAGS", "")
+                             + " --xla_force_host_platform_device_count=8")
+    subprocess.run(common + ["--phase", "cpu-mesh-child"],
+                   check=True, env=mesh_env, cwd=repo)
 
     report = {"backend": backend, "seeds": list(SEEDS), "bars": args.bars,
               "temperature": temp,
@@ -206,6 +239,10 @@ def main(argv=None):
               "params_source": params_source}
     report["xla_vs_cpu"] = compare_dirs(
         os.path.join(out, f"{backend}-xla"), os.path.join(out, "cpu"))
+    report["padded_vs_cpu"] = compare_dirs(
+        os.path.join(out, f"{backend}-padded"), os.path.join(out, "cpu"))
+    report["mesh8_vs_cpu"] = compare_dirs(
+        os.path.join(out, "cpu-mesh8"), os.path.join(out, "cpu"))
     if backend == "tpu":
         if not args.quantize_volume:
             report["fused_vs_cpu"] = compare_dirs(
