@@ -47,6 +47,49 @@ def autocorrelation(roll: np.ndarray, max_lag: int = 64) -> np.ndarray:
     return out
 
 
+def polyphony(roll: np.ndarray) -> float:
+    """Mean simultaneous sounding notes over the steps where anything
+    sounds (silent steps excluded so piece length doesn't dilute it)."""
+    per_step = (roll[:, :, 0] > 0).sum(axis=1)
+    active = per_step[per_step > 0]
+    return float(active.mean()) if len(active) else 0.0
+
+
+def velocity_stats(roll: np.ndarray) -> Dict[str, float]:
+    """Mean/std of the volume channel over sounding cells (the dynamics
+    head's output range; published pieces carry real velocities)."""
+    vols = roll[:, :, 2][roll[:, :, 0] > 0]
+    if not len(vols):
+        return {"mean": 0.0, "std": 0.0}
+    return {"mean": float(vols.mean()), "std": float(vols.std())}
+
+
+def piece_metrics(roll: np.ndarray, max_lag: int = 64) -> Dict:
+    """The per-piece quality fingerprint used by
+    tools/compare_published.py: note density, polyphony, velocity
+    distribution, 12-dim pitch-class profile, and the bar-period
+    autocorrelation (lag 16 = one bar on the 16th-note grid)."""
+    from music_generator_tpu.data.synth import pitch_class_histogram
+    ac = autocorrelation(roll, max_lag=max_lag)
+    return {
+        "timesteps": int(len(roll)),
+        "notes": int((roll[:, :, 0] > 0).sum()),
+        "note_density": float((roll[:, :, 0] > 0).sum() / max(1, len(roll))),
+        "polyphony": polyphony(roll),
+        "velocity": velocity_stats(roll),
+        "pitch_class_profile": [round(float(x), 4)
+                                for x in pitch_class_histogram(roll)],
+        "autocorr_bar": float(ac[15]) if len(ac) > 15 else 0.0,
+        "autocorrelation": [round(float(x), 4) for x in ac],
+    }
+
+
+def profile_intersection(a: Sequence[float], b: Sequence[float]) -> float:
+    """Histogram intersection of two normalized profiles (1 = identical
+    mass placement, ~1/3 = unrelated scales for pitch-class profiles)."""
+    return float(np.minimum(np.asarray(a), np.asarray(b)).sum())
+
+
 def analyze_corpus(styles: Optional[Sequence[Sequence[str]]] = None,
                    config: Optional[Config] = None,
                    out_dir: Optional[str] = None) -> Dict:
