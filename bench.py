@@ -90,6 +90,7 @@ def bench_generate(cfg, args, batch):
         t0 = time.perf_counter()
         sampler.generate(styles, num_bars=bars, seed=1 + i)
         per_rep.append((time.perf_counter() - t0) / steps_per_rep * 1000.0)
+    reps_all = [round(t, 3) for t in per_rep]    # chronological
     per_rep.sort()
     ms_per_step = per_rep[len(per_rep) // 2]
     # Baseline target: < 5 ms/timestep → vs_baseline = target / actual
@@ -103,6 +104,7 @@ def bench_generate(cfg, args, batch):
         "reps_ms_min_median_max": [round(per_rep[0], 3),
                                    round(ms_per_step, 3),
                                    round(per_rep[-1], 3)],
+        "reps_ms": reps_all,
     }
 
 
@@ -128,8 +130,16 @@ def main(argv=None):
                              "through this box's TPU relay) amortizes to "
                              "the steady-state per-timestep cost "
                              "(docs/PERFORMANCE.md streaming table)")
-    parser.add_argument("--gen-reps", type=int, default=3,
-                        help="timed generation repetitions (relay jitter)")
+    parser.add_argument("--gen-reps", type=int, default=10,
+                        help="timed generation repetitions — 10 by default "
+                             "so the median is robust to relay jitter and "
+                             "the per-rep list (reps_ms) exposes transient "
+                             "environment slowdowns (the r3 2.18-vs-2.96 "
+                             "gap was cross-process environment variance: "
+                             "identical fresh invocations measure "
+                             "2.2-4.4 ms medians in different minutes with "
+                             "a stable 2.1-2.2 floor; "
+                             "docs/PERFORMANCE.md)")
     parser.add_argument("--kernel", type=str, default="auto",
                         choices=["auto", "pallas", "xla"])
     parser.add_argument("--mode", type=str, default="all",
