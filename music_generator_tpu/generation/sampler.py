@@ -234,10 +234,18 @@ class Sampler:
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _chunk_jit(self, params: Params, style_emb: jax.Array,
                    state: StepState, num_steps: int,
-                   t0: jax.Array) -> Tuple[StepState, jax.Array]:
+                   t0: jax.Array) -> Tuple[StepState, Tuple]:
         """One compiled chunk of `num_steps` timesteps starting at t0.
         Chunks chain through StepState, so any total length reuses the same
-        executable — true O(1)-state streaming decode (BASELINE config 5)."""
+        executable — true O(1)-state streaming decode (BASELINE config 5).
+
+        Returns the chunk's notes as (playreplay_u8 [G,C,N], volume_f32
+        [G,C,N]): play/replay are exact {0,1} floats, so packing the pair
+        into one uint8 plane (play + 2*replay) is lossless while cutting
+        the device→host payload 2.4x — which matters because the G=64
+        transfer, not the compute, dominated the generation headline
+        through this box's relay (runs/probe_gen.json: 0.8 ms/step of
+        compute inside a 2.4 ms/step total; D2H measured at 9-26 MB/s)."""
         def scan_body(state, t):
             return self._step(params, style_emb, state, t)
 
@@ -247,7 +255,19 @@ class Sampler:
         with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
             state, notes = jax.lax.scan(
                 scan_body, state, t0 + jnp.arange(num_steps, dtype=jnp.int32))
-        return state, notes.transpose(1, 0, 2, 3)     # [G, C, N, 3]
+        notes = notes.transpose(1, 0, 2, 3)           # [G, C, N, 3]
+        playreplay = (notes[..., 0] + 2.0 * notes[..., 1]).astype(jnp.uint8)
+        return state, (playreplay, notes[..., 2])
+
+    @staticmethod
+    def _assemble(pulled_pr: np.ndarray, pulled_vol: np.ndarray) -> np.ndarray:
+        """Host-side inverse of the packed transfer — bit-exact: play and
+        replay reconstruct to the same {0.0, 1.0} float32 values the scan
+        produced."""
+        play = (pulled_pr & 1).astype(np.float32)
+        replay = ((pulled_pr >> 1) & 1).astype(np.float32)
+        return np.stack([play, replay, np.asarray(pulled_vol, np.float32)],
+                        axis=-1)
 
     def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
                  seed: int = 0, chunk_bars: int = 8,
@@ -299,14 +319,25 @@ class Sampler:
         temp = self.default_temp if temperature is None else float(temperature)
         state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp,
                                  stream_offset)
+        # Chunk pipeline: dispatch chunk k+1 (which only depends on chunk
+        # k's on-device carry) BEFORE pulling chunk k's notes to the host,
+        # so the D2H transfer — the dominant cost at large G through this
+        # box's relay — overlaps the next chunk's compute.  Pure
+        # scheduling: outputs are identical to the serial loop.
         pieces = []
+        pending = None
         t = 0
         while t < num_steps:
             n = min(chunk, num_steps - t)
-            state, notes = self._chunk_jit(self.params, style_emb, state, n,
-                                           jnp.int32(t))
-            pieces.append(np.asarray(notes))
+            state, out = self._chunk_jit(self.params, style_emb, state, n,
+                                         jnp.int32(t))
+            if pending is not None:
+                pieces.append(self._assemble(np.asarray(pending[0]),
+                                             np.asarray(pending[1])))
+            pending = out
             t += n
+        pieces.append(self._assemble(np.asarray(pending[0]),
+                                     np.asarray(pending[1])))
         return GenerationResult(np.concatenate(pieces, axis=1)[:G_real],
                                 np.asarray(styles_arr)[:G_real])
 
