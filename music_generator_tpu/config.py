@@ -162,6 +162,17 @@ class Config:
     # the raw copy-through is the reference's semantics (ref:
     # generate.py:48,55) and the published certified artifacts pin it.
     gen_volume_quantize: bool = False
+    # Compact device->host transfer of sampled volumes: ship the velocity
+    # byte floor(v*max_velocity) as uint8 and reconstruct the exact
+    # f32(k/max_velocity) grid float on the host.  The EMITTED .mid bytes
+    # are provably unchanged (the encoder truncates int(v*max_velocity),
+    # and every grid point truncates back to its own k —
+    # test_compact_transfer_same_midi_bytes), but the returned roll's
+    # volume FLOATS become the grid representative of the raw head output,
+    # so it is OFF by default (the certified artifacts pin raw floats) and
+    # ON in serving (which returns .mid bytes only and is transfer-bound
+    # at large batch through a tunneled TPU: 5 -> 2 bytes per roll cell).
+    gen_compact_transfer: bool = False
 
     # --- Derived values (ref: constants.py:42,55-56,63,67) --------------
     @property

@@ -163,8 +163,27 @@ class Sampler:
             body, (note_state, jnp.zeros((G, 3))), xs)
         return notes.transpose(1, 0, 2)               # [G, N, 3]
 
+    def _step_uniforms(self, stream_keys: jax.Array,
+                       t: jax.Array) -> jax.Array:
+        """Deviation #10 (docs/MIGRATION.md): each stream's step-t uniforms
+        come from fold_in(stream_key, t) — a pure function of
+        (seed, global stream index, t).  Sampled bytes are therefore
+        independent of the batch SHAPE (mesh/bucket padding) and of the
+        batch COMPOSITION (what the other streams are): the auto-mesh
+        padded run is byte-equal to the unpadded single-chip run, and
+        stream i of a sweep equals the solo run at stream_offset=i.  The
+        pre-r4 scheme drew one [G, N, 2] block from a split-per-step
+        chain, which entangled every stream with the padded shape
+        (VERDICT r3 weak #2).  Returns [G, N, 2]."""
+        step_keys = jax.vmap(jax.random.fold_in, (0, None))(stream_keys, t)
+        return jax.vmap(
+            lambda k: jax.random.uniform(k, (self.cfg.num_notes, 2)))(
+                step_keys)
+
     def _step(self, params: Params, style_emb: jax.Array,
-              state: StepState, t: jax.Array) -> Tuple[StepState, jax.Array]:
+              state: StepState, t: jax.Array,
+              us: Optional[jax.Array] = None,
+              ) -> Tuple[StepState, jax.Array]:
         cfg = self.cfg
         G = style_emb.shape[0]
         # Beat alignment: the model input pairs the note sampled at t-1 with
@@ -180,20 +199,11 @@ class Sampler:
         feats, time_state = self.model.time_axis_step(
             params, state.prev_note, beat, style_emb, state.time_state)
 
-        # Deviation #10 (docs/MIGRATION.md): each stream's step-t uniforms
-        # come from fold_in(stream_key, t) — a pure function of
-        # (seed, global stream index, t).  Sampled bytes are therefore
-        # independent of the batch SHAPE (mesh/bucket padding) and of the
-        # batch COMPOSITION (what the other streams are): the auto-mesh
-        # padded run is byte-equal to the unpadded single-chip run, and
-        # stream i of a sweep equals the solo run at stream_offset=i.  The
-        # pre-r4 scheme drew one [G, N, 2] block from a split-per-step
-        # chain, which entangled every stream with the padded shape
-        # (VERDICT r3 weak #2).
-        step_keys = jax.vmap(jax.random.fold_in, (0, None))(
-            state.stream_keys, t)
-        us = jax.vmap(
-            lambda k: jax.random.uniform(k, (cfg.num_notes, 2)))(step_keys)
+        # `us` is normally pre-drawn for the whole chunk in one batched
+        # threefry dispatch (see _chunk_jit) — bitwise the same values as
+        # the in-step draw below, which remains for direct _step callers.
+        if us is None:
+            us = self._step_uniforms(state.stream_keys, t)
         next_note = self._note_scan(params, feats, style_emb,
                                     state.temperature, us)
 
@@ -246,26 +256,44 @@ class Sampler:
         transfer, not the compute, dominated the generation headline
         through this box's relay (runs/probe_gen.json: 0.8 ms/step of
         compute inside a 2.4 ms/step total; D2H measured at 9-26 MB/s)."""
-        def scan_body(state, t):
-            return self._step(params, style_emb, state, t)
+        def scan_body(state, xs):
+            t, us = xs
+            return self._step(params, style_emb, state, t, us)
 
         # Highest matmul precision: on TPU, f32 matmuls otherwise run as
         # single-pass bf16 on the MXU, which shifts probabilities enough to
         # flip Bernoulli draws vs a CPU run (the byte-identity target).
+        ts = t0 + jnp.arange(num_steps, dtype=jnp.int32)
+        # Hoist the RNG off the scan's critical path: all of the chunk's
+        # per-(stream, t) uniforms in ONE batched threefry dispatch — the
+        # same fold_in(stream_key, t) keys and draws as the per-step form
+        # (bitwise identical), but ~128 small sequential hashes become one
+        # large parallel one (runs/probe_gen.json priced the in-scan RNG
+        # at 0.13 ms/step of the 1.4 ms step).
+        us_all = jax.vmap(self._step_uniforms, (None, 0))(
+            state.stream_keys, ts)                    # [C, G, N, 2]
         with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
-            state, notes = jax.lax.scan(
-                scan_body, state, t0 + jnp.arange(num_steps, dtype=jnp.int32))
+            state, notes = jax.lax.scan(scan_body, state, (ts, us_all))
         notes = notes.transpose(1, 0, 2, 3)           # [G, C, N, 3]
         playreplay = (notes[..., 0] + 2.0 * notes[..., 1]).astype(jnp.uint8)
-        return state, (playreplay, notes[..., 2])
+        vol = notes[..., 2]
+        if self.cfg.gen_compact_transfer:
+            # Velocity byte instead of the raw f32 (config.py
+            # gen_compact_transfer): same .mid bytes, 2.5x less payload.
+            vol = jnp.floor(vol * float(self.cfg.max_velocity)).astype(
+                jnp.uint8)
+        return state, (playreplay, vol)
 
-    @staticmethod
-    def _assemble(pulled_pr: np.ndarray, pulled_vol: np.ndarray) -> np.ndarray:
-        """Host-side inverse of the packed transfer — bit-exact: play and
-        replay reconstruct to the same {0.0, 1.0} float32 values the scan
-        produced."""
+    def _assemble(self, pulled_pr: np.ndarray,
+                  pulled_vol: np.ndarray) -> np.ndarray:
+        """Host-side inverse of the packed transfer — bit-exact for play
+        and replay ({0.0, 1.0} floats reconstruct identically); volumes
+        are raw f32 by default, or the exact grid float of the transferred
+        velocity byte under gen_compact_transfer."""
         play = (pulled_pr & 1).astype(np.float32)
         replay = ((pulled_pr >> 1) & 1).astype(np.float32)
+        if pulled_vol.dtype == np.uint8:
+            pulled_vol = _velocity_grid(self.cfg.max_velocity)[pulled_vol]
         return np.stack([play, replay, np.asarray(pulled_vol, np.float32)],
                         axis=-1)
 

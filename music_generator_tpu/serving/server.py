@@ -67,7 +67,12 @@ class GenerationService:
         # sampler pads the power-of-two buckets below up to mesh
         # divisibility when needed).
         from music_generator_tpu.parallel.mesh import auto_mesh
-        self._sampler = Sampler(self.model, self.params, mesh=auto_mesh())
+        # Serving returns .mid bytes only, so it opts into the compact
+        # velocity-byte device->host transfer (config.py
+        # gen_compact_transfer: provably identical .mid output, 2.5x less
+        # payload — the dominant cost at large G through a tunneled TPU).
+        gen_model = DeepJ(self.cfg.replace(gen_compact_transfer=True))
+        self._sampler = Sampler(gen_model, self.params, mesh=auto_mesh())
         if warmup:
             self.generate(mixture=compute_genre(0, self.cfg), bars=1)
 

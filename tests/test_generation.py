@@ -320,3 +320,26 @@ def test_fused_gen_kernel_matches_scan_interpret():
             fused = s_f._note_scan(params, feats, emb, temp, us)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
                                    atol=1e-4)
+
+
+def test_compact_transfer_same_midi_bytes():
+    """gen_compact_transfer (config.py) ships the velocity byte
+    floor(v*127) as uint8 instead of the raw f32 volume.  The encoder
+    truncates int(v*127) and every f32(k/127) grid point truncates back
+    to its own k, so the EMITTED .mid bytes must be identical; the
+    returned roll's volumes become the exact grid float of the raw
+    output's velocity byte (serving relies on this to cut the
+    device->host payload 2.5x with provably unchanged responses)."""
+    model = DeepJ(CFG)
+    params = init_params(jax.random.key(2), CFG)
+    styles = [compute_genre(g, CFG) for g in range(3)]
+    raw = Sampler(model, params).generate(styles, num_bars=2, seed=5)
+    compact = Sampler(DeepJ(CFG.replace(gen_compact_transfer=True)),
+                      params).generate(styles, num_bars=2, seed=5)
+    # play/replay bit-exact; volume = grid[floor(raw*127)]
+    np.testing.assert_array_equal(raw.notes[..., :2], compact.notes[..., :2])
+    grid = np.arange(128, dtype=np.float32) / np.float32(127.0)
+    expect = grid[np.floor(raw.notes[..., 2] * 127.0).astype(np.int32)]
+    np.testing.assert_array_equal(compact.notes[..., 2], expect)
+    for i in range(3):
+        assert _mid_bytes(raw.notes[i]) == _mid_bytes(compact.notes[i]), i

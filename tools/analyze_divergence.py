@@ -81,10 +81,7 @@ def main(argv=None):
             feats, time_state = model.time_axis_step(
                 params, state.prev_note, beat, style_emb, state.time_state)
             # Deviation #10 stream-indexed uniforms: fold_in(stream_key, t).
-            step_keys = jax.vmap(jax.random.fold_in, (0, None))(
-                state.stream_keys, jnp.int32(t))
-            us = jax.vmap(
-                lambda k: jax.random.uniform(k, (cfg.num_notes, 2)))(step_keys)
+            us = sampler._step_uniforms(state.stream_keys, jnp.int32(t))
             if t == int(t0):
                 # Walk the pitch recurrence with A's choices up to the
                 # diverging pitch, then report p vs u there.
