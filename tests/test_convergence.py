@@ -17,6 +17,11 @@ import pytest
 
 import jax
 
+# Long-running evidence tests (real 2-process clusters / full
+# training loops / driver dryruns): excluded from the fast dev loop
+# via `pytest -m "not slow"`; the full gate always runs them.
+pytestmark = pytest.mark.slow
+
 from music_generator_tpu.config import test_config as make_test_config
 from music_generator_tpu.data.dataset import load_all
 from music_generator_tpu.data.synth import (

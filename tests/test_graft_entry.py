@@ -4,11 +4,19 @@ a full sharded train step on the virtual 8-device CPU mesh."""
 import sys
 import os
 
+import pytest
+
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__ as graft
+
+# Long-running evidence tests (real 2-process clusters / full
+# training loops / driver dryruns): excluded from the fast dev loop
+# via `pytest -m "not slow"`; the full gate always runs them.
+pytestmark = pytest.mark.slow
+
 
 
 def test_entry_jits():

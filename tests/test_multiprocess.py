@@ -17,6 +17,11 @@ import pytest
 
 import jax
 
+# Long-running evidence tests (real 2-process clusters / full
+# training loops / driver dryruns): excluded from the fast dev loop
+# via `pytest -m "not slow"`; the full gate always runs them.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tools", "mp_worker.py")
 

@@ -86,6 +86,7 @@ def test_trained_checkpoint_is_style_faithful(flagship):
         assert own >= 0.75, f"style {s}: own-scale overlap {own:.3f}"
 
 
+@pytest.mark.slow
 def test_real_corpus_samples_regenerate_byte_identically(flagship, tmp_path):
     """artifacts/real_corpus_r3/ — the model trained on the reference's
     nine REAL published pieces (docs/TRAINING.md "Real-corpus training"):
@@ -109,6 +110,7 @@ def test_real_corpus_samples_regenerate_byte_identically(flagship, tmp_path):
             f"real_trained_{i}.mid does not regenerate byte-identically"
 
 
+@pytest.mark.slow
 def test_published_short_samples_regenerate_byte_identically(
         flagship, tmp_path):
     """artifacts/short_samples_r2/short_s0_*.mid were generated on the TPU
