@@ -122,6 +122,14 @@ class Config:
     lstm_kernel: str = "auto"      # "auto" | "pallas" | "xla"
     # Octave-transpose data augmentation (flag off for parity runs).
     transpose_augment: int = 0     # max semitone shift (0 disables)
+    # Time-axis recurrence family.  "lstm" is the reference architecture
+    # (the shipped contract); "linear" swaps in a minGRU-style gated
+    # LINEAR recurrence (ops/linear_scan.py) whose time dimension runs as
+    # an O(log T) associative scan with no recurrent matmul — the round-4
+    # "move the architectural ceiling" study (docs/PERFORMANCE.md,
+    # artifacts/parallel_scan_r4/).  OFF by default: different parameters,
+    # different (non-reference) model family.
+    time_axis_kind: str = "lstm"   # "lstm" | "linear"
     # Hardware RBG PRNG for training dropout masks (generation sampling
     # always stays on the cross-platform threefry PRNG).
     fast_dropout_rng: bool = True

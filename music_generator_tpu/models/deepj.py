@@ -95,7 +95,9 @@ def dropout(key: Optional[jax.Array], x: jax.Array, rate: float,
 
 class AxisLayer(NamedTuple):
     style_proj: Dense
-    lstm: LSTMParams
+    lstm: NamedTuple   # LSTMParams, or GLRUParams when
+                       # cfg.time_axis_kind == "linear" (the parallel-scan
+                       # study variant, ops/linear_scan.py)
 
 
 class Params(NamedTuple):
@@ -120,9 +122,14 @@ def init_params(key: jax.Array, cfg: Config) -> Params:
     time_layers = []
     d = f
     for _ in range(cfg.time_axis_layers):
+        if cfg.time_axis_kind == "linear":
+            from music_generator_tpu.ops.linear_scan import glru_init
+            rec = glru_init(next(keys), d, cfg.time_axis_units)
+        else:
+            rec = lstm_init(next(keys), d, cfg.time_axis_units)
         time_layers.append(AxisLayer(
             style_proj=dense_init(next(keys), cfg.style_units, d),
-            lstm=lstm_init(next(keys), d, cfg.time_axis_units)))
+            lstm=rec))
         d = cfg.time_axis_units
 
     note_layers = []
@@ -244,10 +251,12 @@ class DeepJ:
 
     def _use_fused(self, layers) -> bool:
         """The fused two-layer stack applies when running the Pallas kernels
-        with exactly two equal-width layers (the DeepJ shape)."""
+        with exactly two equal-width LSTM layers (the DeepJ shape; the
+        linear-scan study variant has no recurrent matrix to fuse)."""
         return (self.cfg.fused_axis_kernel
                 and self._kernel() == "pallas"
                 and len(layers) == 2
+                and isinstance(layers[0].lstm, LSTMParams)
                 and layers[0].lstm.recurrent.shape
                 == layers[1].lstm.recurrent.shape)
 
@@ -311,8 +320,17 @@ class DeepJ:
             proj = jnp.broadcast_to(proj[:, :, None, :], x.shape)
             proj = dropout(_sub(rng, f"tstyle{l}"), proj, cfg.dropout, train)
             x = x + proj
-            hs, _ = lstm_scan(layer.lstm, x.reshape(T, B * N, x.shape[-1]),
-                              compute_dtype=self._dt(), kernel=self._kernel())
+            if isinstance(layer.lstm, LSTMParams):
+                hs, _ = lstm_scan(layer.lstm,
+                                  x.reshape(T, B * N, x.shape[-1]),
+                                  compute_dtype=self._dt(),
+                                  kernel=self._kernel())
+            else:
+                # The linear-scan study variant: O(log T) associative scan,
+                # no recurrent matmul (ops/linear_scan.py).
+                from music_generator_tpu.ops.linear_scan import glru_scan
+                hs = glru_scan(layer.lstm, x.reshape(T, B * N, x.shape[-1]),
+                               compute_dtype=self._dt())
             x = dropout(_sub(rng, f"tdrop{l}"), hs.reshape(T, B, N, -1),
                         cfg.dropout, train)
         return x
@@ -390,6 +408,7 @@ class DeepJ:
         return (cfg.fused_biax_v3 and self._kernel() == "pallas"
                 and len(params.time_axis) == 2
                 and len(params.note_axis) == 2
+                and isinstance(params.time_axis[0].lstm, LSTMParams)
                 and params.time_axis[0].lstm.recurrent.shape
                 == params.time_axis[1].lstm.recurrent.shape
                 and params.note_axis[0].lstm.recurrent.shape
@@ -488,9 +507,14 @@ class DeepJ:
     # -- streaming single-step paths (generation) --------------------------
 
     def init_time_state(self, batch: int) -> Tuple:
-        """Per-layer (h, c) for the time-axis LSTMs; effective batch is
-        (generations × notes)."""
+        """Per-layer (h, c) for the time-axis LSTMs — or (h,) for the
+        linear-scan variant; effective batch is (generations × notes)."""
         cfg = self.cfg
+        if cfg.time_axis_kind == "linear":
+            return tuple(
+                (jnp.zeros((batch * cfg.num_notes, cfg.time_axis_units),
+                           jnp.float32),)
+                for _ in range(cfg.time_axis_layers))
         return tuple(
             (jnp.zeros((batch * cfg.num_notes, cfg.time_axis_units), jnp.float32),
              jnp.zeros((batch * cfg.num_notes, cfg.time_axis_units), jnp.float32))
@@ -516,12 +540,19 @@ class DeepJ:
         x = self.note_features(notes, beat, conv_out)[:, 0]   # [G, N, F]
 
         new_state = []
-        for layer, (h, c) in zip(params.time_axis, state):
+        for layer, layer_state in zip(params.time_axis, state):
             proj = jnp.tanh(dense_apply(layer.style_proj, style_emb, self._dt()))
             x = x + proj[:, None, :]
             xin = x.reshape(G * N, x.shape[-1])
-            h, c = lstm_step(layer.lstm, xin, h, c, compute_dtype=self._dt())
-            new_state.append((h, c))
+            if isinstance(layer.lstm, LSTMParams):
+                h, c = lstm_step(layer.lstm, xin, *layer_state,
+                                 compute_dtype=self._dt())
+                new_state.append((h, c))
+            else:
+                from music_generator_tpu.ops.linear_scan import glru_step
+                h = glru_step(layer.lstm, xin, layer_state[0],
+                              compute_dtype=self._dt())
+                new_state.append((h,))
             x = h.reshape(G, N, -1)
         return x, tuple(new_state)
 
