@@ -92,6 +92,18 @@ def generate_main(argv=None) -> None:
                              "velocity grid (opt-in deviation #9, "
                              "docs/MIGRATION.md — changes the sampled "
                              "bytes vs the default raw copy-through)")
+    parser.add_argument("--prime", type=str, default=None, metavar="MIDI",
+                        help="Continue composing from an existing .mid "
+                             "file: the streaming state is teacher-forced "
+                             "through it, then --bars NEW bars are "
+                             "generated from where it leaves off (a "
+                             "capability extension — the reference always "
+                             "generates from silence)")
+    parser.add_argument("--prime-bars", type=int, default=None,
+                        help="Use only the first K bars of --prime")
+    parser.add_argument("--continuation-only", action="store_true",
+                        help="With --prime: write only the newly generated "
+                             "bars instead of prime + continuation")
     args = parser.parse_args(argv)
 
     _enable_compile_cache()
@@ -132,7 +144,28 @@ def generate_main(argv=None) -> None:
               f"{len(jax.devices())} devices")
     sampler = Sampler(model, params, default_temp=args.temperature,
                       mesh=mesh)
-    result = sampler.generate(styles, num_bars=args.bars, seed=args.seed)
+
+    prime = None
+    if args.prime:
+        from music_generator_tpu.data.dataset import clamp_midi
+        from music_generator_tpu.midi.codec import load_midi
+        prime = clamp_midi(load_midi(args.prime, cfg), cfg)
+        if args.prime_bars is not None:
+            prime = prime[:args.prime_bars * cfg.notes_per_bar]
+        print(f"Priming with {prime.shape[0]} steps "
+              f"({prime.shape[0] / cfg.notes_per_bar:g} bars) "
+              f"from {args.prime}")
+
+    result = sampler.generate(styles, num_bars=args.bars, seed=args.seed,
+                              prime=prime)
+    if prime is not None and not args.continuation_only:
+        # Write the full piece: the (clamped) prime followed by the
+        # generated continuation, for every stream.
+        full = np.concatenate(
+            [np.broadcast_to(prime[None].astype(np.float32),
+                             (result.notes.shape[0],) + prime.shape),
+             result.notes], axis=1)
+        result = type(result)(notes=full, styles=result.styles)
     write_file(args.out, result, cfg)
 
 

@@ -180,21 +180,38 @@ class Sampler:
             lambda k: jax.random.uniform(k, (self.cfg.num_notes, 2)))(
                 step_keys)
 
+    def _beat_row(self, t: jax.Array, G: int) -> jax.Array:
+        """Beat alignment: the model input pairs the note consumed at step t
+        (the one chosen at t-1) with the beat of timestep t-1 — the same
+        (note[j], beat[j]) pairing the training windows use (dataset.stagger)
+        and the reference generator feeds (ref: generate.py:73-79 appends the
+        step-t note together with compute_beat(t), so predicting step t sees
+        note[t-1] + beat[t-1]).  At t=0 the zero-initialized memory slot has
+        an all-zero beat row."""
+        cfg = self.cfg
+        beat = jax.nn.one_hot((t - 1) % cfg.notes_per_bar, cfg.notes_per_bar)
+        beat = beat * (t > 0)
+        return jnp.broadcast_to(beat[None], (G, cfg.notes_per_bar))
+
+    def _temperature_update(self, state: StepState,
+                            note_t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Adaptive temperature (ref: generate.py:60-71): +0.1 per silent
+        step once a full bar has been silent; reset to default on any note.
+        Returns (temperature, silent_time) after observing note_t."""
+        silent = jnp.sum(note_t, axis=(1, 2)) == 0
+        silent_time = jnp.where(silent, state.silent_time + 1, 0)
+        bump = silent & (silent_time >= self.cfg.notes_per_bar)
+        temperature = jnp.where(
+            bump, state.temperature + 0.1,
+            jnp.where(silent, state.temperature, state.base_temp))
+        return temperature, silent_time
+
     def _step(self, params: Params, style_emb: jax.Array,
               state: StepState, t: jax.Array,
               us: Optional[jax.Array] = None,
               ) -> Tuple[StepState, jax.Array]:
-        cfg = self.cfg
         G = style_emb.shape[0]
-        # Beat alignment: the model input pairs the note sampled at t-1 with
-        # the beat of timestep t-1 — the same (note[j], beat[j]) pairing the
-        # training windows use (dataset.stagger) and the reference generator
-        # feeds (ref: generate.py:73-79 appends the step-t note together with
-        # compute_beat(t), so predicting step t sees note[t-1] + beat[t-1]).
-        # At t=0 the zero-initialized memory slot has an all-zero beat row.
-        beat = jax.nn.one_hot((t - 1) % cfg.notes_per_bar, cfg.notes_per_bar)
-        beat = beat * (t > 0)
-        beat = jnp.broadcast_to(beat[None], (G, cfg.notes_per_bar))
+        beat = self._beat_row(t, G)
 
         feats, time_state = self.model.time_axis_step(
             params, state.prev_note, beat, style_emb, state.time_state)
@@ -207,15 +224,7 @@ class Sampler:
         next_note = self._note_scan(params, feats, style_emb,
                                     state.temperature, us)
 
-        # Adaptive temperature (ref: generate.py:60-71): +0.1 per silent step
-        # once a full bar has been silent; reset to default on any note.
-        silent = jnp.sum(next_note, axis=(1, 2)) == 0
-        silent_time = jnp.where(silent, state.silent_time + 1, 0)
-        bump = silent & (silent_time >= cfg.notes_per_bar)
-        temperature = jnp.where(
-            bump, state.temperature + 0.1,
-            jnp.where(silent, state.temperature, state.base_temp))
-
+        temperature, silent_time = self._temperature_update(state, next_note)
         return StepState(time_state, next_note, temperature, state.base_temp,
                          silent_time, state.stream_keys), next_note
 
@@ -284,6 +293,73 @@ class Sampler:
                 jnp.uint8)
         return state, (playreplay, vol)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _prime_chunk_jit(self, params: Params, style_emb: jax.Array,
+                         state: StepState, notes_chunk: jax.Array,
+                         t0: jax.Array, n_valid: jax.Array) -> StepState:
+        """Teacher-force a chunk of ground-truth notes through the streaming
+        state — the priming half of primed continuation (a capability the
+        reference's window-recompute generator has no analogue for; its
+        `MusicGeneration` deque always starts from silence,
+        ref: generate.py:18-20).
+
+        notes_chunk: [G, BAR, N, 3] clamped piano-roll rows, of which only
+        the first `n_valid` are real (the tail chunk arrives zero-padded).
+        Step t advances the time-axis recurrence with exactly the inputs
+        `_step` would use had the model SAMPLED these notes — prev_note
+        paired with beat(t-1), the adaptive-temperature machine observing
+        each row — so continuing at t0+n_valid is byte-identical to a run
+        that really did generate the prime (test_prime_self_consistency
+        pins this).  No randomness is consumed: the note-axis sampling is
+        skipped entirely, and continuation uniforms remain
+        fold_in(stream_key, t) at the absolute step index (deviation #10).
+
+        Every chunk — including the tail — runs this ONE fixed-length
+        executable, with the scan stacking each step's carry and `n_valid`
+        selecting the state to keep.  A variable-length tail scan is NOT
+        equivalent: XLA fully unrolls a length-1 scan and fuses its body
+        differently, and the resulting ~1e-7 float drift in the LSTM state
+        can flip a knife-edge Bernoulli compare downstream (observed on
+        CPU) — bitwise identity demands every prime step go through
+        byte-identical body codegen."""
+        def body(state, xs):
+            t, note_t = xs
+            beat = self._beat_row(t, note_t.shape[0])
+            _, time_state = self.model.time_axis_step(
+                params, state.prev_note, beat, style_emb, state.time_state)
+            temperature, silent_time = self._temperature_update(state, note_t)
+            new = StepState(time_state, note_t, temperature,
+                            state.base_temp, silent_time, state.stream_keys)
+            return new, new
+
+        ts = t0 + jnp.arange(notes_chunk.shape[1], dtype=jnp.int32)
+        with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
+            _, stacked = jax.lax.scan(
+                body, state, (ts, notes_chunk.transpose(1, 0, 2, 3)))
+        return jax.tree.map(lambda s: s[n_valid - 1], stacked)
+
+    def _advance_through_prime(self, style_emb: jax.Array, state: StepState,
+                               prime: np.ndarray) -> StepState:
+        """Run the prime through `_prime_chunk_jit` in bar-sized chunks
+        (tail zero-padded): any prime length reuses a single compiled
+        signature — compiles through this box's TPU relay cost minutes, so
+        signature count matters more than dispatch count."""
+        bar = self.cfg.notes_per_bar
+        t = 0
+        total = prime.shape[1]
+        while t < total:
+            n = min(bar, total - t)
+            chunk = prime[:, t:t + n]
+            if n < bar:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(chunk.shape[:1] + (bar - n,)
+                                     + chunk.shape[2:], chunk.dtype)], axis=1)
+            state = self._prime_chunk_jit(
+                self.params, style_emb, state, jnp.asarray(chunk),
+                jnp.int32(t), jnp.int32(n))
+            t += n
+        return state
+
     def _assemble(self, pulled_pr: np.ndarray,
                   pulled_vol: np.ndarray) -> np.ndarray:
         """Host-side inverse of the packed transfer — bit-exact for play
@@ -301,7 +377,8 @@ class Sampler:
                  seed: int = 0, chunk_bars: int = 8,
                  temperature: Optional[float] = None,
                  stream_offset: int = 0,
-                 pad_to: Optional[int] = None) -> GenerationResult:
+                 pad_to: Optional[int] = None,
+                 prime: Optional[np.ndarray] = None) -> GenerationResult:
         """Generate `num_bars` bars for each style mixture, entirely
         on-device (ref: generate.py:98-121's API, minus the host loop).
 
@@ -323,7 +400,15 @@ class Sampler:
         tools/check_fidelity.py's mesh variant).
 
         `pad_to` additionally pads the batch to a multiple of that size
-        even without a mesh — the serving bucket / certification hook."""
+        even without a mesh — the serving bucket / certification hook.
+
+        `prime`: an optional CLAMPED piano roll ([T_p, num_notes, 3] shared
+        by every stream, or [G, T_p, num_notes, 3] per-stream) that the
+        model continues FROM: the streaming state is teacher-forced through
+        it (no sampling, no randomness consumed), then `num_bars` bars are
+        generated starting at absolute step T_p.  The result contains the
+        continuation only — callers concatenate the prime back if they want
+        the full piece (cli.generate_main does)."""
         cfg = self.cfg
         G_real = len(styles)
         styles = list(styles)
@@ -347,6 +432,17 @@ class Sampler:
         temp = self.default_temp if temperature is None else float(temperature)
         state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp,
                                  stream_offset)
+        prime_steps = 0
+        if prime is not None and prime.shape[-3] > 0:
+            prime = np.asarray(prime, np.float32)
+            G_pad = styles_arr.shape[0]
+            if prime.ndim == 3:
+                prime = np.broadcast_to(prime[None], (G_pad,) + prime.shape)
+            elif prime.shape[0] != G_pad:       # pad like the styles were
+                prime = np.concatenate(
+                    [prime] + [prime[-1:]] * (G_pad - prime.shape[0]))
+            prime_steps = prime.shape[1]
+            state = self._advance_through_prime(style_emb, state, prime)
         # Chunk pipeline: dispatch chunk k+1 (which only depends on chunk
         # k's on-device carry) BEFORE pulling chunk k's notes to the host,
         # so the D2H transfer — the dominant cost at large G through this
@@ -354,7 +450,8 @@ class Sampler:
         # scheduling: outputs are identical to the serial loop.
         pieces = []
         pending = None
-        t = 0
+        t = prime_steps
+        num_steps += prime_steps
         while t < num_steps:
             n = min(chunk, num_steps - t)
             state, out = self._chunk_jit(self.params, style_emb, state, n,

@@ -16,7 +16,10 @@ API:
        {"styles": [0, 3],        # style indices to mix (mean of one-hots),
         "genre": 1,              # ...or a genre id (uniform mixture),
         "mixture": [..23 floats],# ...or an explicit mixture vector
-        "bars": 16, "seed": 42, "temperature": 1.0}
+        "bars": 16, "seed": 42, "temperature": 1.0,
+        "prime_midi": "<b64>",   # optional: continue FROM this .mid —
+        "prime_bars": 8,         #   teacher-forced primed continuation
+        "continuation_only": false}  # drop the echoed prime from the reply
 """
 
 from __future__ import annotations
@@ -95,16 +98,48 @@ class GenerationService:
             raise ValueError(f"genre must be in [0, {len(cfg.genres)})")
         return compute_genre(genre, cfg)
 
+    def resolve_prime(self, payload: dict) -> Optional[np.ndarray]:
+        """Decode an optional `prime_midi` (base64 .mid bytes) into a
+        clamped roll for primed continuation; `prime_bars` truncates it.
+        Invalid files raise ValueError (→ HTTP 400)."""
+        b64 = payload.get("prime_midi")
+        if b64 is None:
+            return None
+        import base64
+
+        from music_generator_tpu.data.dataset import clamp_midi
+        from music_generator_tpu.midi.codec import midi_decode
+        from music_generator_tpu.midi.io import read_midifile
+        try:
+            raw = base64.b64decode(b64, validate=True)
+            pattern = read_midifile(io.BytesIO(raw))
+            roll = midi_decode(pattern, self.cfg.midi_max_notes,
+                               config=self.cfg)
+        except Exception as e:
+            raise ValueError(f"prime_midi is not a valid MIDI file: {e}")
+        roll = clamp_midi(roll, self.cfg)
+        prime_bars = payload.get("prime_bars")
+        if prime_bars is not None:
+            roll = roll[:max(0, int(prime_bars)) * self.cfg.notes_per_bar]
+        # Same ceiling as bars: the prime advance is O(length) device work.
+        max_steps = 4096 * self.cfg.notes_per_bar
+        if roll.shape[0] > max_steps:
+            raise ValueError(f"prime too long (> {max_steps} steps)")
+        return roll
+
     def generate(self, mixture=None, bars: int = 8, seed: int = 0,
-                 temperature: float = 1.0) -> bytes:
+                 temperature: float = 1.0, prime=None,
+                 continuation_only: bool = False) -> bytes:
         """Generate one piece and return .mid file bytes."""
         if mixture is None:
             mixture = compute_genre(0, self.cfg)
         return self.generate_batch([mixture], bars=bars, seed=seed,
-                                   temperature=temperature)[0]
+                                   temperature=temperature, prime=prime,
+                                   continuation_only=continuation_only)[0]
 
     def generate_batch(self, mixtures, bars: int = 8, seed: int = 0,
-                       temperature: float = 1.0) -> list:
+                       temperature: float = 1.0, prime=None,
+                       continuation_only: bool = False) -> list:
         """Generate one piece per style mixture in a SINGLE device call —
         the batch dimension of the on-device sampler (BASELINE config 4's
         parallel-generation geometry) exposed at the serving layer.
@@ -140,10 +175,19 @@ class GenerationService:
         with self._lock:
             result = self._sampler.generate(padded, num_bars=bars,
                                             seed=int(seed),
-                                            temperature=temperature)
+                                            temperature=temperature,
+                                            prime=prime)
+        notes = result.notes
+        if (prime is not None and prime.shape[0] > 0
+                and not continuation_only):
+            # Default primed response = prime + continuation, like the CLI.
+            notes = np.concatenate(
+                [np.broadcast_to(prime[None].astype(np.float32),
+                                 (notes.shape[0],) + prime.shape), notes],
+                axis=1)
         out = []
         for i in range(G):
-            pattern = midi_encode(unclamp_midi(result.notes[i], cfg),
+            pattern = midi_encode(unclamp_midi(notes[i], cfg),
                                   config=cfg)
             buf = io.BytesIO()
             write_midifile(buf, pattern)
@@ -214,7 +258,10 @@ def make_handler(service: GenerationService):
                         mixtures,
                         bars=payload.get("bars", 8),
                         seed=payload.get("seed", 0),
-                        temperature=payload.get("temperature", 1.0))
+                        temperature=payload.get("temperature", 1.0),
+                        prime=service.resolve_prime(payload),
+                        continuation_only=bool(
+                            payload.get("continuation_only", False)))
                     self._json(200, {"files": [
                         base64.b64encode(f).decode() for f in files]})
                     return
@@ -223,7 +270,10 @@ def make_handler(service: GenerationService):
                     mixture=mixture,
                     bars=payload.get("bars", 8),
                     seed=payload.get("seed", 0),
-                    temperature=payload.get("temperature", 1.0))
+                    temperature=payload.get("temperature", 1.0),
+                    prime=service.resolve_prime(payload),
+                    continuation_only=bool(
+                        payload.get("continuation_only", False)))
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})

@@ -21,16 +21,24 @@ def captured(monkeypatch):
             rec["temp"] = default_temp
             rec["mesh"] = mesh
 
-        def generate(self, styles, num_bars, seed):
+        def generate(self, styles, num_bars, seed, prime=None):
+            from music_generator_tpu.generation.sampler import (
+                GenerationResult)
             rec["styles"] = [np.asarray(s) for s in styles]
             rec["bars"] = num_bars
             rec["seed"] = seed
-            return "result"
+            rec["prime"] = None if prime is None else np.asarray(prime)
+            notes = np.zeros((len(styles), num_bars * CFG.notes_per_bar,
+                              CFG.num_notes, 3), np.float32)
+            return GenerationResult(notes=notes, styles=np.stack(styles))
+
+    def fake_write(name, result, cfg):
+        rec.setdefault("out", name)
+        rec["result"] = result
 
     monkeypatch.setattr(cli, "Sampler", FakeSampler)
     monkeypatch.setattr(cli, "build_or_load", lambda model: ("params", True))
-    monkeypatch.setattr(cli, "write_file",
-                        lambda name, result, cfg: rec.setdefault("out", name))
+    monkeypatch.setattr(cli, "write_file", fake_write)
     return rec
 
 
@@ -61,6 +69,40 @@ def test_generate_styles_flag_means_mean_of_one_hots(captured):
     assert np.isclose(s[0], 0.5) and np.isclose(s[3], 0.5)
     assert np.isclose(s.sum(), 1.0)
     assert captured["bars"] == 2 and captured["seed"] == 7
+
+
+def _write_tiny_midi(path):
+    """A 2-bar clamped roll round-tripped to a real .mid on disk."""
+    from music_generator_tpu.data.dataset import unclamp_midi
+    from music_generator_tpu.midi.codec import midi_encode
+    from music_generator_tpu.midi.io import write_midifile
+    roll = np.zeros((2 * CFG.notes_per_bar, CFG.num_notes, 3), np.float32)
+    roll[::4, 10, 0] = 1.0
+    roll[::4, 10, 2] = 0.5
+    write_midifile(str(path), midi_encode(unclamp_midi(roll, CFG), config=CFG))
+
+
+def test_generate_prime_feeds_clamped_roll_and_writes_full_piece(
+        captured, tmp_path, monkeypatch):
+    monkeypatch.setattr(cli, "default_config",
+                        lambda: CFG.replace(out_dir=str(tmp_path)))
+    p = tmp_path / "seed.mid"
+    _write_tiny_midi(p)
+    cli.generate_main(["--prime", str(p), "--prime-bars", "1",
+                       "--bars", "2", "--styles", "0"])
+    assert captured["prime"].shape == (CFG.notes_per_bar, CFG.num_notes, 3)
+    # Default output = prime + continuation concatenated.
+    assert captured["result"].notes.shape[1] == 3 * CFG.notes_per_bar
+
+
+def test_generate_prime_continuation_only(captured, tmp_path, monkeypatch):
+    monkeypatch.setattr(cli, "default_config",
+                        lambda: CFG.replace(out_dir=str(tmp_path)))
+    p = tmp_path / "seed.mid"
+    _write_tiny_midi(p)
+    cli.generate_main(["--prime", str(p), "--bars", "2", "--styles", "0",
+                       "--continuation-only"])
+    assert captured["result"].notes.shape[1] == 2 * CFG.notes_per_bar
 
 
 def test_generate_sweep_interpolates_two_styles(captured):

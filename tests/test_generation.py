@@ -210,6 +210,66 @@ def test_stream_rng_shape_and_composition_invariance():
         assert _mid_bytes(meshed.notes[i]) == ref_bytes[i], f"mesh {i}"
 
 
+def test_prime_self_consistency(sampler):
+    """Priming with the model's OWN first K bars reproduces the rest of the
+    run byte-for-byte: teacher-forcing the streaming state through notes the
+    model really did sample is indistinguishable from having sampled them
+    (and the continuation's uniforms key off absolute t — deviation #10)."""
+    styles = [compute_genre(0, CFG)]
+    full = sampler.generate(styles, num_bars=4, seed=11)
+    K = 2 * CFG.notes_per_bar
+    cont = sampler.generate(styles, num_bars=2, seed=11,
+                            prime=full.notes[0, :K])
+    np.testing.assert_array_equal(cont.notes[0], full.notes[0, K:])
+
+
+def test_prime_non_bar_aligned_and_per_stream(sampler):
+    """A prime whose length is not a multiple of the bar (exercising the
+    single-step tail chunks) and a per-stream [G, T_p, N, 3] prime both
+    continue exactly like the original run."""
+    styles = [compute_genre(i, CFG) for i in range(2)]
+    full = sampler.generate(styles, num_bars=4, seed=13)
+    K = CFG.notes_per_bar + 3
+    cont = sampler.generate(styles, num_bars=2, seed=13,
+                            prime=full.notes[:, :K])
+    T = 2 * CFG.notes_per_bar
+    np.testing.assert_array_equal(cont.notes, full.notes[:, K:K + T])
+
+
+def test_prime_padding_invariance(sampler):
+    """Bucket padding doesn't change primed bytes (the deviation-#10
+    contract extends to the teacher-forced prefix: priming consumes no
+    randomness at all)."""
+    styles = [compute_genre(0, CFG)]
+    full = sampler.generate(styles, num_bars=3, seed=17)
+    K = CFG.notes_per_bar
+    a = sampler.generate(styles, num_bars=2, seed=17,
+                         prime=full.notes[0, :K])
+    b = sampler.generate(styles, num_bars=2, seed=17,
+                         prime=full.notes[0, :K], pad_to=4)
+    np.testing.assert_array_equal(a.notes, b.notes)
+    np.testing.assert_array_equal(a.notes[0], full.notes[0, K:])
+
+
+def test_prime_mesh_matches_unsharded(sampler):
+    """Primed continuation on the 8-device auto-mesh path (the flagship
+    default, with G=1 padded to 8) samples the same events as the plain
+    single-device primed run."""
+    from music_generator_tpu.parallel.mesh import make_mesh
+    styles = [compute_genre(0, CFG)]
+    full = sampler.generate(styles, num_bars=3, seed=19)
+    K = CFG.notes_per_bar + 5
+    prime = full.notes[0, :K]
+    plain = sampler.generate(styles, num_bars=1, seed=19, prime=prime)
+    meshed = Sampler(sampler.model, sampler.params,
+                     mesh=make_mesh()).generate(
+        styles, num_bars=1, seed=19, prime=prime)
+    np.testing.assert_array_equal(plain.notes[..., :2],
+                                  meshed.notes[..., :2])
+    np.testing.assert_allclose(plain.notes[..., 2], meshed.notes[..., 2],
+                               atol=1e-5)
+
+
 def test_chunked_streaming_equals_monolithic(sampler):
     """Chunk size must not change the generated piece — the recurrent,
     temperature, and RNG state cross chunk boundaries exactly."""

@@ -144,6 +144,56 @@ def test_generate_batch_endpoint(server, service):
     assert files == again
 
 
+def test_generate_primed_continuation(server, service):
+    """POST /generate with prime_midi: the response is a valid .mid whose
+    roll extends the prime (prime echoed + `bars` new bars), and
+    continuation_only drops the echo.  The prime round-trips through
+    base64 → parser → codec → clamp → teacher-forced sampler state."""
+    import base64
+    import io as _io
+    # Make a prime: generate 1 bar from the service itself.
+    prime_bytes = service.generate(mixture=None, bars=1, seed=3)
+    prime_b64 = base64.b64encode(prime_bytes).decode()
+    with _post(server, {"genre": 0, "bars": 1, "seed": 3,
+                        "prime_midi": prime_b64}) as r:
+        full = r.read()
+    pattern = midi.read_midifile(_io.BytesIO(full))
+    assert pattern.resolution == CFG.notes_per_beat
+
+    from music_generator_tpu.data.dataset import clamp_midi
+    from music_generator_tpu.midi.codec import midi_decode
+    roll_prime = clamp_midi(midi_decode(
+        midi.read_midifile(_io.BytesIO(prime_bytes)),
+        CFG.midi_max_notes, config=CFG), CFG)
+    roll_full = clamp_midi(midi_decode(pattern, CFG.midi_max_notes,
+                                       config=CFG), CFG)
+    # The echoed prefix survives the round trip bit-for-bit.
+    np.testing.assert_array_equal(roll_full[:roll_prime.shape[0]],
+                                  roll_prime)
+
+    with _post(server, {"genre": 0, "bars": 1, "seed": 3,
+                        "prime_midi": prime_b64,
+                        "continuation_only": True}) as r:
+        cont = r.read()
+    assert cont != full     # the echo is gone
+    # continuation_only + prime is deterministic too.
+    with _post(server, {"genre": 0, "bars": 1, "seed": 3,
+                        "prime_midi": prime_b64,
+                        "continuation_only": True}) as r:
+        assert r.read() == cont
+
+
+def test_generate_rejects_invalid_prime(server):
+    import base64
+    bad = base64.b64encode(b"not a midi file").decode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"genre": 0, "bars": 1, "prime_midi": bad})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"genre": 0, "bars": 1, "prime_midi": "!!!"})
+    assert e.value.code == 400
+
+
 def test_generate_batch_rejects_bad(service):
     with pytest.raises(ValueError):
         service.generate_batch([], bars=1)

@@ -61,6 +61,9 @@ def main(argv=None):
     parser.add_argument("--patience", type=int, default=5)
     parser.add_argument("--sample-bars", type=int, default=16)
     parser.add_argument("--temperature", type=float, default=0.75)
+    parser.add_argument("--transpose-augment", type=int, default=0,
+                        help="max semitone shift for training augmentation "
+                             "(0 = reference-faithful, off)")
     args = parser.parse_args(argv)
 
     from music_generator_tpu.utils.compile_cache import enable
@@ -86,6 +89,8 @@ def main(argv=None):
     os.chdir(run_dir)
 
     cfg = default_config()
+    if args.transpose_augment:
+        cfg = cfg.replace(transpose_augment=args.transpose_augment)
     # Stage each genre's three pieces under the genre's FIRST composer
     # directory of the stock taxonomy, so style conditioning uses the
     # config's real one-hot slots.
@@ -149,6 +154,7 @@ def main(argv=None):
         "corpus": "the reference's 9 real published .mid files "
                   "(archives/v1/long_samples), 3 per genre",
         "windows": len(ds),
+        "transpose_augment": cfg.transpose_augment,
         "epochs_run": epochs_run,
         "first_loss": history["loss"][0],
         "best_loss": min(history["loss"]),
