@@ -21,6 +21,11 @@ auto-mesh sharded path a v5e-8 user hits by default — certifying that the
 flagship multi-chip default emits the certified bytes (VERDICT r3 weak
 #2/#3 closed).
 
+Each variant's matrix covers solo (G=1), the CLI's 3-genre batch, and
+(r4) a primed continuation per seed (teacher-forced through the solo
+run's first half) — the primed-generation surface certifies
+cross-backend too.
+
 Run from /root/repo:  python tools/check_fidelity.py --out runs/fidelity
 """
 
@@ -108,16 +113,32 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
     for seed in SEEDS:
         # Single-stream (G=1, the fused-kernel regime) + the CLI's default
         # 3-genre batch (G=3).
+        solo_notes = None
         for tag, styles in (("solo", [one_hot(0, cfg.num_styles)]),
                             ("genres", [compute_genre(g, cfg)
                                         for g in range(3)])):
             result = sampler.generate(styles, num_bars=bars, seed=seed,
                                       temperature=temperature, pad_to=pad_to)
+            if tag == "solo":
+                solo_notes = result.notes
             for i in range(result.notes.shape[0]):
                 mf = midi_encode(unclamp_midi(result.notes[i], cfg),
                                  config=cfg)
                 write_midifile(
                     os.path.join(out_dir, f"{tag}_{seed}_{i}.mid"), mf)
+        # Primed continuation (r4): teacher-force through the solo run's
+        # first half, then continue.  The prime itself is certified
+        # cross-backend by the solo row, so byte-equal primed files
+        # certify the teacher-forced state advance + the continuation's
+        # absolute-step RNG discipline end-to-end.
+        prime = solo_notes[0, :(bars // 2) * cfg.notes_per_bar]
+        result = sampler.generate([one_hot(0, cfg.num_styles)],
+                                  num_bars=bars - bars // 2, seed=seed,
+                                  temperature=temperature, pad_to=pad_to,
+                                  prime=prime)
+        mf = midi_encode(unclamp_midi(
+            np.concatenate([prime, result.notes[0]]), cfg), config=cfg)
+        write_midifile(os.path.join(out_dir, f"primed_{seed}_0.mid"), mf)
 
 
 def compare_dirs(a: str, b: str) -> dict:
