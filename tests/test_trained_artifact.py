@@ -129,3 +129,37 @@ def test_published_short_samples_regenerate_byte_identically(
         published = os.path.join(SHORT, f"short_s0_{i}.mid")
         assert out.read_bytes() == open(published, "rb").read(), \
             f"short_s0_{i}.mid does not regenerate byte-identically"
+
+
+@pytest.mark.slow
+def test_primed_demo_regenerates_byte_identically(flagship, tmp_path):
+    """artifacts/primed_demos_r4/primed_Baroque.mid — the real-corpus
+    model continuing the reference's published 'Baroque 1' from its first
+    8 bars (tools/make_primed_demos.py, generated on the TPU chip) —
+    regenerates byte-for-byte on CPU: the fidelity discipline extends to
+    the primed-continuation surface end-to-end (published piece → codec →
+    teacher-forced state → continuation → encoder)."""
+    from music_generator_tpu.data.dataset import clamp_midi
+    from music_generator_tpu.midi.codec import midi_decode
+    from music_generator_tpu.midi.io import read_midifile
+
+    cfg, model = flagship
+    art = os.path.join(os.path.dirname(ART), "primed_demos_r4")
+    src = "/root/reference/archives/v1/long_samples/Baroque 1.mid"
+    if not os.path.exists(src):
+        pytest.skip("reference published pieces not available")
+    params = _load_npz(model, os.path.join(
+        os.path.dirname(ART), "real_corpus_r3", "params.npz"))
+    roll = clamp_midi(midi_decode(read_midifile(src), cfg.midi_max_notes,
+                                  config=cfg), cfg)
+    prime = roll[:8 * cfg.notes_per_bar].astype(np.float32)
+    res = Sampler(model, params).generate(
+        [one_hot(0, cfg.num_styles)], num_bars=8, seed=0,
+        temperature=0.75, prime=prime)
+    out = tmp_path / "regen.mid"
+    write_midifile(str(out), midi_encode(
+        unclamp_midi(np.concatenate([prime, res.notes[0]]), cfg),
+        config=cfg))
+    published = os.path.join(art, "primed_Baroque.mid")
+    assert out.read_bytes() == open(published, "rb").read(), \
+        "primed_Baroque.mid does not regenerate byte-identically"
