@@ -58,7 +58,14 @@ def main(argv=None):
         REPO, "artifacts", "published_compare_r4"))
     parser.add_argument("--params", default=os.path.join(
         REPO, "artifacts", "real_corpus_r3", "params.npz"))
+    parser.add_argument("--temperature", type=float, default=TEMPERATURE,
+                        help="sampling temperature for the scored "
+                             "generations (default 0.75, the committed "
+                             "real-corpus sample regime; the reference's "
+                             "stock generate.py runs T=1 — "
+                             "ref: generate.py:17)")
     args = parser.parse_args(argv)
+    temperature = args.temperature
 
     import numpy as np
 
@@ -99,7 +106,7 @@ def main(argv=None):
     for seed in SEEDS:
         res = sampler.generate(
             [one_hot(s, cfg.num_styles) for s in GENRE_STYLE_IDS],
-            num_bars=BARS, seed=seed, temperature=TEMPERATURE)
+            num_bars=BARS, seed=seed, temperature=temperature)
         for gi, genre in enumerate(GENRE_NAMES):
             # Compare on the same 128-pitch footing as the decoded
             # published rolls (pitch classes align: min_note 36 ≡ C).
@@ -116,7 +123,7 @@ def main(argv=None):
     report = {"published_dir": REF_DIR,
               "params": os.path.relpath(args.params, REPO),
               "seeds": list(SEEDS), "bars": BARS,
-              "temperature": TEMPERATURE,
+              "temperature": temperature,
               # Control: how separable the PUBLISHED genres are from each
               # other on the same metric — the ceiling any generator's
               # diagonal can be judged against.
@@ -171,9 +178,10 @@ def main(argv=None):
     # --- REPORT.md --------------------------------------------------------
     lines = [
         "# Generated vs published music (round 4)", "",
-        "The real-corpus model (`artifacts/real_corpus_r3/params.npz`, "
+        "The real-corpus model "
+        f"(`{os.path.relpath(args.params, REPO)}`, "
         "trained on the reference's nine published pieces) generating "
-        f"{BARS}-bar pieces at T={TEMPERATURE}, seeds {list(SEEDS)}, "
+        f"{BARS}-bar pieces at T={temperature:g}, seeds {list(SEEDS)}, "
         "scored against the published pieces themselves "
         "(`archives/v1/long_samples/`).  Metrics: "
         "data/analysis.piece_metrics.", "",
