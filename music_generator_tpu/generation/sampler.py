@@ -438,6 +438,10 @@ class Sampler:
             G_pad = styles_arr.shape[0]
             if prime.ndim == 3:
                 prime = np.broadcast_to(prime[None], (G_pad,) + prime.shape)
+            elif prime.shape[0] > G_pad:
+                raise ValueError(
+                    f"prime has {prime.shape[0]} streams but only "
+                    f"{G_real} style mixtures were given")
             elif prime.shape[0] != G_pad:       # pad like the styles were
                 prime = np.concatenate(
                     [prime] + [prime[-1:]] * (G_pad - prime.shape[0]))
@@ -448,6 +452,11 @@ class Sampler:
         # so the D2H transfer — the dominant cost at large G through this
         # box's relay — overlaps the next chunk's compute.  Pure
         # scheduling: outputs are identical to the serial loop.
+        if num_steps == 0:           # num_bars=0: e.g. "just run the prime"
+            return GenerationResult(
+                np.zeros((G_real, 0, cfg.num_notes, cfg.note_units),
+                         np.float32),
+                np.asarray(styles_arr)[:G_real])
         pieces = []
         pending = None
         t = prime_steps

@@ -122,13 +122,18 @@ def init_params(key: jax.Array, cfg: Config) -> Params:
     time_layers = []
     d = f
     for _ in range(cfg.time_axis_layers):
+        # Key order matters: style_proj draws BEFORE the recurrent init,
+        # preserving the seeded initialization the pre-linear-variant
+        # code produced for the default "lstm" path (same seed -> same
+        # weights across versions; review r4 finding).
+        style_key, rec_key = next(keys), next(keys)
         if cfg.time_axis_kind == "linear":
             from music_generator_tpu.ops.linear_scan import glru_init
-            rec = glru_init(next(keys), d, cfg.time_axis_units)
+            rec = glru_init(rec_key, d, cfg.time_axis_units)
         else:
-            rec = lstm_init(next(keys), d, cfg.time_axis_units)
+            rec = lstm_init(rec_key, d, cfg.time_axis_units)
         time_layers.append(AxisLayer(
-            style_proj=dense_init(next(keys), cfg.style_units, d),
+            style_proj=dense_init(style_key, cfg.style_units, d),
             lstm=rec))
         d = cfg.time_axis_units
 

@@ -270,6 +270,21 @@ def test_prime_mesh_matches_unsharded(sampler):
                                atol=1e-5)
 
 
+def test_prime_with_more_streams_than_styles_rejected(sampler):
+    styles = [compute_genre(0, CFG)]
+    bad = np.zeros((4, CFG.notes_per_bar, CFG.num_notes, 3), np.float32)
+    with pytest.raises(ValueError, match="more.*streams|streams but"):
+        sampler.generate(styles, num_bars=1, seed=0, prime=bad)
+
+
+def test_zero_bars_returns_empty_result(sampler):
+    """--bars 0 (e.g. 'just run the prime') returns an empty roll instead
+    of crashing in the transfer-pipeline drain."""
+    styles = [compute_genre(0, CFG)]
+    res = sampler.generate(styles, num_bars=0, seed=0)
+    assert res.notes.shape == (1, 0, CFG.num_notes, 3)
+
+
 def test_chunked_streaming_equals_monolithic(sampler):
     """Chunk size must not change the generated piece — the recurrent,
     temperature, and RNG state cross chunk boundaries exactly."""

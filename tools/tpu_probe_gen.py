@@ -137,16 +137,20 @@ def main(argv=None):
                                            jnp.arange(T))
         return (state, prev), outs.sum()
 
+    # The production per-(stream, t) uniform schedule, via the
+    # sampler's own _step_uniforms (deviation #10) so the probe
+    # can never drift from what generation actually computes
+    # (review r4 finding: two inline copies measured a frozen
+    # re-implementation).
+    stream_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.key(0), jnp.arange(G, dtype=jnp.uint32))
+
     @jax.jit
     def note_scan_only(carry):
         feats, acc = carry
         def body(c, t):
             feats, acc = c
-            us = jax.vmap(lambda k: jax.random.uniform(k, (N, 2)))(
-                jax.vmap(jax.random.fold_in, (0, None))(
-                    jax.vmap(jax.random.fold_in, (None, 0))(
-                        jax.random.key(0), jnp.arange(G, dtype=jnp.uint32)),
-                    t))
+            us = sampler._step_uniforms(stream_keys, t)
             with jax.default_matmul_precision(prec):
                 notes = sampler._note_scan(params, feats, style_emb,
                                            jnp.ones((G,)), us)
@@ -159,11 +163,7 @@ def main(argv=None):
     @jax.jit
     def rng_only(carry):
         def body(acc, t):
-            us = jax.vmap(lambda k: jax.random.uniform(k, (N, 2)))(
-                jax.vmap(jax.random.fold_in, (0, None))(
-                    jax.vmap(jax.random.fold_in, (None, 0))(
-                        jax.random.key(0), jnp.arange(G, dtype=jnp.uint32)),
-                    t))
+            us = sampler._step_uniforms(stream_keys, t)
             return acc + us.sum(), us.sum()
         acc, outs = jax.lax.scan(body, carry, jnp.arange(T))
         return acc, outs.sum()
