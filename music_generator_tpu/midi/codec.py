@@ -150,6 +150,13 @@ def midi_decode(pattern: Pattern,
     cfg = config or default_config()
     if step is None:
         step = pattern.resolution // cfg.notes_per_beat
+    if step <= 0:
+        # A (possibly corrupt) resolution below notes_per_beat would
+        # otherwise surface as a bare ZeroDivisionError deep in the
+        # frame math — raise the contract violation at the boundary.
+        raise ValueError(
+            f"unsupported MIDI resolution {pattern.resolution} "
+            f"(needs >= {cfg.notes_per_beat} ticks/beat)")
 
     merged_volume = None
     merged_replay = None

@@ -176,3 +176,69 @@ def test_notes_above_clamp_range_survive_decode():
         midi.EndOfTrackEvent(tick=0)])], resolution=4)
     roll = midi.midi_decode(pattern, 128, step=1)
     assert roll[:4, 100, 0].all()
+
+
+def _valid_file_bytes():
+    roll = np.zeros((32, 128, 3), np.float32)
+    roll[::4, 60, 0] = 1.0
+    roll[::4, 60, 2] = 0.7
+    roll[2::8, 64, 0] = 1.0
+    roll[2::8, 64, 2] = 0.5
+    buf = io.BytesIO()
+    midi.write_midifile(buf, midi.midi_encode(roll, step=1))
+    return buf.getvalue()
+
+
+def test_parser_survives_all_truncations():
+    """Serving accepts user MIDI uploads (prime_midi): every prefix
+    truncation of a valid file must either parse or raise a clean
+    exception — never hang, never return garbage that crashes later
+    stages differently than a ValueError would."""
+    data = _valid_file_bytes()
+    ok = (ValueError, EOFError, KeyError, IndexError)
+    import struct as _struct
+    for cut in range(len(data)):
+        try:
+            p = midi.read_midifile(io.BytesIO(data[:cut]))
+        except ok:
+            continue
+        except _struct.error:
+            continue
+        # Parsed: downstream decode must also be safe.
+        midi.midi_decode(p, 128, step=1)
+
+
+def test_parser_survives_random_mutations():
+    """500 deterministic single-byte corruptions of a valid file: parse +
+    decode either succeed or raise cleanly (the serving handler converts
+    any of these to HTTP 400 via resolve_prime's Exception wrap)."""
+    data = bytearray(_valid_file_bytes())
+    rng = np.random.RandomState(0)
+    ok = (ValueError, EOFError, KeyError, IndexError, OverflowError)
+    import struct as _struct
+    for _ in range(500):
+        pos = int(rng.randint(len(data)))
+        old = data[pos]
+        data[pos] = int(rng.randint(256))
+        try:
+            p = midi.read_midifile(io.BytesIO(bytes(data)))
+            midi.midi_decode(p, 128, step=1)
+            # The serving path derives step from the (possibly corrupted)
+            # resolution — a sub-notes_per_beat value must raise the
+            # boundary ValueError, not a bare ZeroDivisionError.
+            midi.midi_decode(p, 128)
+        except ok:
+            pass
+        except _struct.error:
+            pass
+        finally:
+            data[pos] = old
+
+
+def test_decode_rejects_sub_beat_resolution():
+    import pytest
+    pattern = midi.Pattern([midi.Track([
+        midi.NoteOnEvent(tick=0, velocity=90, pitch=60),
+        midi.EndOfTrackEvent(tick=4)])], resolution=2)
+    with pytest.raises(ValueError, match="resolution"):
+        midi.midi_decode(pattern, 128)
