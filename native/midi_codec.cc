@@ -201,7 +201,11 @@ int dj_decode_buffer(const uint8_t* data, uint64_t size, int notes_per_beat,
   int step = step_override > 0
                  ? step_override
                  : (int)division / (notes_per_beat > 0 ? notes_per_beat : 4);
-  if (step <= 0) step = 1;
+  // Sub-notes_per_beat resolutions are a contract violation: fail the
+  // decode (the Python codec raises ValueError for the same input —
+  // tests/test_native_codec.py pins the parity) instead of silently
+  // decoding at a different time grid than the reference would.
+  if (step <= 0) return 3;
 
   std::vector<double> merged_vol, merged_rep;
   bool have = false;

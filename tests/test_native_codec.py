@@ -180,3 +180,20 @@ def test_native_decoder_survives_garbage(seed):
             assert roll.ndim == 3
         except RuntimeError:
             pass
+
+
+def test_native_rejects_sub_beat_resolution_like_python():
+    """A resolution below notes_per_beat (derived step would be 0) fails
+    LOUDLY on both decoders — the Python codec's boundary ValueError and
+    the native decoder's parse error — instead of the native path
+    silently decoding at a clamped step=1 grid the Python path would
+    never produce (r4 parity fix)."""
+    pattern = midi.Pattern([midi.Track([
+        midi.NoteOnEvent(tick=0, velocity=90, pitch=60),
+        midi.EndOfTrackEvent(tick=4)])], resolution=2)
+    buf = io.BytesIO()
+    midi.write_midifile(buf, pattern)
+    with pytest.raises(ValueError, match="resolution"):
+        midi.midi_decode(midi.read_midifile(io.BytesIO(buf.getvalue())), 128)
+    with pytest.raises(RuntimeError):
+        native.native_decode_bytes(buf.getvalue())
