@@ -293,35 +293,14 @@ class Sampler:
                 jnp.uint8)
         return state, (playreplay, vol)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _prime_chunk_jit(self, params: Params, style_emb: jax.Array,
-                         state: StepState, notes_chunk: jax.Array,
-                         t0: jax.Array, n_valid: jax.Array) -> StepState:
-        """Teacher-force a chunk of ground-truth notes through the streaming
-        state — the priming half of primed continuation (a capability the
-        reference's window-recompute generator has no analogue for; its
-        `MusicGeneration` deque always starts from silence,
-        ref: generate.py:18-20).
-
-        notes_chunk: [G, BAR, N, 3] clamped piano-roll rows, of which only
-        the first `n_valid` are real (the tail chunk arrives zero-padded).
-        Step t advances the time-axis recurrence with exactly the inputs
-        `_step` would use had the model SAMPLED these notes — prev_note
-        paired with beat(t-1), the adaptive-temperature machine observing
-        each row — so continuing at t0+n_valid is byte-identical to a run
-        that really did generate the prime (test_prime_self_consistency
-        pins this).  No randomness is consumed: the note-axis sampling is
-        skipped entirely, and continuation uniforms remain
-        fold_in(stream_key, t) at the absolute step index (deviation #10).
-
-        Every chunk — including the tail — runs this ONE fixed-length
-        executable, with the scan stacking each step's carry and `n_valid`
-        selecting the state to keep.  A variable-length tail scan is NOT
-        equivalent: XLA fully unrolls a length-1 scan and fuses its body
-        differently, and the resulting ~1e-7 float drift in the LSTM state
-        can flip a knife-edge Bernoulli compare downstream (observed on
-        CPU) — bitwise identity demands every prime step go through
-        byte-identical body codegen."""
+    def _prime_body(self, params: Params, style_emb: jax.Array):
+        """The shared teacher-forcing scan body: advance the time-axis
+        recurrence with exactly the inputs `_step` would use had the model
+        SAMPLED this note — prev_note paired with beat(t-1), the
+        adaptive-temperature machine observing each row.  No randomness is
+        consumed: the note-axis sampling is skipped entirely, and
+        continuation uniforms remain fold_in(stream_key, t) at the
+        absolute step index (deviation #10)."""
         def body(state, xs):
             t, note_t = xs
             beat = self._beat_row(t, note_t.shape[0])
@@ -331,32 +310,87 @@ class Sampler:
             new = StepState(time_state, note_t, temperature,
                             state.base_temp, silent_time, state.stream_keys)
             return new, new
+        return body
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _prime_scan_jit(self, params: Params, style_emb: jax.Array,
+                        state: StepState, notes_chunk: jax.Array,
+                        t0: jax.Array) -> StepState:
+        """Teacher-force a FULL chunk of ground-truth notes (every row
+        valid) through the streaming state — the priming half of primed
+        continuation (a capability the reference's window-recompute
+        generator has no analogue for; its `MusicGeneration` deque always
+        starts from silence, ref: generate.py:18-20).
+
+        Carry-only: returns the final state, no per-step stacking (the
+        stacked tape measured +70 ms PER DISPATCH through this box's
+        relay — runs/serving_bench.json's primed workload motivated the
+        split into big/bar/tail executables; `_advance_through_prime`)."""
+        body = self._prime_body(params, style_emb)
+        ts = t0 + jnp.arange(notes_chunk.shape[1], dtype=jnp.int32)
+        with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
+            state, _ = jax.lax.scan(
+                body, state, (ts, notes_chunk.transpose(1, 0, 2, 3)))
+        return state
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _prime_tail_jit(self, params: Params, style_emb: jax.Array,
+                        state: StepState, notes_chunk: jax.Array,
+                        t0: jax.Array, n_valid: jax.Array) -> StepState:
+        """The partial final chunk: notes_chunk is [G, BAR, N, 3] with only
+        the first `n_valid` rows real (zero-padded tail); the scan stacks
+        each step's carry and `n_valid` selects the state to keep.
+
+        A variable-length tail scan is NOT equivalent: XLA fully unrolls a
+        length-1 scan and fuses its body differently, and the resulting
+        ~1e-7 float drift in the LSTM state can flip a knife-edge Bernoulli
+        compare downstream (observed on CPU) — bitwise identity demands
+        every prime step go through byte-identical body codegen, so the
+        tail pads up to the same bar-sized scan the full chunks use."""
+        body = self._prime_body(params, style_emb)
         ts = t0 + jnp.arange(notes_chunk.shape[1], dtype=jnp.int32)
         with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
             _, stacked = jax.lax.scan(
                 body, state, (ts, notes_chunk.transpose(1, 0, 2, 3)))
         return jax.tree.map(lambda s: s[n_valid - 1], stacked)
 
+    # Full prime chunks dispatch at this many bars per call (matching
+    # generate()'s default chunk_bars): through this box's relay each
+    # dispatch costs ~90 ms regardless of size, so an 8-bar prime is ONE
+    # call instead of eight (runs/serving_bench.json).
+    _PRIME_CHUNK_BARS = 8
+
     def _advance_through_prime(self, style_emb: jax.Array, state: StepState,
                                prime: np.ndarray) -> StepState:
-        """Run the prime through `_prime_chunk_jit` in bar-sized chunks
-        (tail zero-padded): any prime length reuses a single compiled
-        signature — compiles through this box's TPU relay cost minutes, so
-        signature count matters more than dispatch count."""
+        """Run the prime through at most three compiled signatures — big
+        (8-bar) and bar-sized carry-only scans for the full chunks, the
+        stacked-select bar scan for a partial tail.  Compiles through this
+        box's TPU relay cost minutes and dispatches ~90 ms, so both
+        signature count AND dispatch count matter.  All three run the
+        identical per-step body (`_prime_body`): chunking never changes
+        the resulting state (test_prime_self_consistency and the
+        committed primed-demo byte pins hold across chunk patterns)."""
         bar = self.cfg.notes_per_bar
+        big = bar * self._PRIME_CHUNK_BARS
         t = 0
         total = prime.shape[1]
         while t < total:
-            n = min(bar, total - t)
-            chunk = prime[:, t:t + n]
-            if n < bar:
+            left = total - t
+            if left >= big:
+                n = big
+            elif left >= bar:
+                n = bar
+            else:
                 chunk = np.concatenate(
-                    [chunk, np.zeros(chunk.shape[:1] + (bar - n,)
-                                     + chunk.shape[2:], chunk.dtype)], axis=1)
-            state = self._prime_chunk_jit(
-                self.params, style_emb, state, jnp.asarray(chunk),
-                jnp.int32(t), jnp.int32(n))
+                    [prime[:, t:], np.zeros(
+                        prime.shape[:1] + (bar - left,) + prime.shape[2:],
+                        prime.dtype)], axis=1)
+                return self._prime_tail_jit(
+                    self.params, style_emb, state, jnp.asarray(chunk),
+                    jnp.int32(t), jnp.int32(left))
+            state = self._prime_scan_jit(
+                self.params, style_emb, state,
+                jnp.asarray(prime[:, t:t + n]), jnp.int32(t))
             t += n
         return state
 

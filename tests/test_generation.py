@@ -236,6 +236,21 @@ def test_prime_non_bar_aligned_and_per_stream(sampler):
     np.testing.assert_array_equal(cont.notes, full.notes[:, K:K + T])
 
 
+def test_prime_big_bar_tail_chunk_mix(sampler):
+    """A prime long enough to exercise ALL THREE prime executables (the
+    8-bar carry-only big chunk, the bar-sized carry-only chunk, and the
+    stacked-select partial tail) continues exactly like the original run
+    — chunking never changes the state (the dispatch-count optimization
+    is bitwise-neutral)."""
+    styles = [compute_genre(1, CFG)]
+    npb = CFG.notes_per_bar
+    full = sampler.generate(styles, num_bars=11, seed=23)
+    K = 8 * npb + npb + 3                 # big + bar + 3-step tail
+    cont = sampler.generate(styles, num_bars=1, seed=23,
+                            prime=full.notes[0, :K])
+    np.testing.assert_array_equal(cont.notes[0], full.notes[0, K:K + npb])
+
+
 def test_prime_padding_invariance(sampler):
     """Bucket padding doesn't change primed bytes (the deviation-#10
     contract extends to the teacher-forced prefix: priming consumes no

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""End-to-end HTTP serving benchmark: the deployment surface measured
+over a real socket on the chip.
+
+Starts `GenerationService` (the exact object `serve.py` runs) in-process
+behind a real `ThreadingHTTPServer`, then measures wall-clock
+request→response latency for the serving workloads:
+
+  solo     — POST /generate, 1 piece x 8 bars (interactive request)
+  batch16  — POST /generate_batch, 16 mixtures x 8 bars in ONE device
+             call (the batched operating point)
+  primed   — POST /generate with an 8-bar prime_midi + 8 new bars
+             (the r4 primed-continuation surface)
+
+Each workload reports every rep chronologically (this box's relay has
+transient slow windows — CLAUDE.md; per-rep lists make them visible),
+median/min, and derived per-piece + per-timestep costs.  Writes a JSON
+artifact; commit it under artifacts/serving_bench_r4/.
+
+Run on the TPU box from /root/repo:  python tools/bench_serving.py
+(CPU smoke: JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/bench_serving.py --reps 2)
+"""
+
+import argparse
+import base64
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _post(url, path, payload):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.read()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--reps", type=int, default=10)
+    parser.add_argument("--bars", type=int, default=8)
+    parser.add_argument("--out", default=os.path.join(
+        REPO, "runs", "serving_bench.json"))
+    parser.add_argument("--params", default=os.path.join(
+        REPO, "artifacts", "trained_model_r3", "params.npz"))
+    args = parser.parse_args(argv)
+
+    from music_generator_tpu.utils.compile_cache import enable
+    enable()
+    import jax
+
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.models.deepj import DeepJ
+    from music_generator_tpu.serving.server import (GenerationService,
+                                                    make_handler)
+    from tools.check_fidelity import _params_from_npz
+
+    cfg = default_config()
+    params = _params_from_npz(DeepJ(cfg), args.params)
+    service = GenerationService(config=cfg, params=params, warmup=True)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+
+    bars = args.bars
+    steps = bars * cfg.notes_per_bar
+    # An 8-bar prime from the service itself (also pre-compiles the
+    # primed path so the measured reps are compile-free, like any
+    # deployment past its first request).
+    prime_b64 = base64.b64encode(
+        _post(url, "/generate", {"genre": 0, "bars": bars, "seed": 123})
+    ).decode()
+
+    workloads = {
+        "solo": ("/generate",
+                 lambda seed: {"genre": 0, "bars": bars, "seed": seed}),
+        "batch16": ("/generate_batch",
+                    lambda seed: {"styles_list": [[i % 23] for i in range(16)],
+                                  "bars": bars, "seed": seed}),
+        "primed": ("/generate",
+                   lambda seed: {"genre": 0, "bars": bars, "seed": seed,
+                                 "prime_midi": prime_b64,
+                                 "continuation_only": True}),
+    }
+
+    results = {"backend": jax.default_backend(), "bars": bars,
+               "reps": args.reps,
+               "params": os.path.relpath(args.params, REPO),
+               "workloads": {}}
+    for name, (path, payload_fn) in workloads.items():
+        _post(url, path, payload_fn(0))          # warm this workload's shape
+        times = []
+        for rep in range(args.reps):
+            t0 = time.perf_counter()
+            _post(url, path, payload_fn(1 + rep))
+            times.append(round((time.perf_counter() - t0) * 1e3, 1))
+        ordered = sorted(times)
+        median = ordered[len(ordered) // 2]
+        pieces = 16 if name == "batch16" else 1
+        results["workloads"][name] = {
+            "path": path,
+            "pieces_per_request": pieces,
+            "reps_ms": times,                    # chronological
+            "median_ms": median,
+            "min_ms": ordered[0],
+            "median_ms_per_piece": round(median / pieces, 1),
+            "median_ms_per_timestep": round(median / (pieces * steps), 3),
+        }
+        print(name, results["workloads"][name])
+
+    httpd.shutdown()
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
