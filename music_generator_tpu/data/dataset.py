@@ -190,18 +190,23 @@ def load_all(styles: Optional[Sequence[Sequence[str]]] = None,
             if cfg.transpose_augment > 0:
                 k = cfg.transpose_augment
                 shifts = list(range(-k, k + 1))
+            # Beat and style windows depend only on the piece LENGTH, not
+            # the transpose shift — build them once per piece and reuse
+            # per shift (review r4 finding: the per-shift rebuild made
+            # corpus load O(shifts × timesteps) in Python for identical
+            # arrays).
+            beats = np.eye(cfg.notes_per_bar, dtype=np.float32)[
+                np.arange(len(clamped)) % cfg.notes_per_bar]
+            beat_windows = stagger(beats, time_steps, hop)[0]
+            style_rows = np.tile(style_hot, (len(clamped), 1))
+            style_windows = stagger(style_rows, time_steps, hop)[0]
             for shift in shifts:
                 s = transpose_augment(clamped, shift)
                 x, y = stagger(s, time_steps, hop)
                 note_data.append(x)
                 note_target.append(y)
-
-                beats = np.array([compute_beat(i, cfg.notes_per_bar)
-                                  for i in range(len(s))], dtype=np.float32)
-                beat_data.append(stagger(beats, time_steps, hop)[0])
-
-                style_rows = np.tile(style_hot, (len(s), 1))
-                style_data.append(stagger(style_rows, time_steps, hop)[0])
+                beat_data.append(beat_windows)
+                style_data.append(style_windows)
 
     if not note_data:
         T, N = time_steps, cfg.num_notes

@@ -52,16 +52,20 @@ def build_or_load(model: DeepJ, seed: int = 0,
     training.trainer writes it), so the restore target is built in that
     shape and the params subtree extracted."""
     cfg = model.cfg
-    params = init_params(jax.random.key(seed), cfg)
-    # The reference prints model.summary() on every build (ref: util.py:16).
+    # The reference prints model.summary() on every build (ref: util.py:16)
+    # — shapes only, so eval_shape gives the table without materializing
+    # weights; the fresh init happens only on the paths that return it
+    # (the restore path previously ran init_params twice: once here and
+    # once inside create_train_state — review r4 finding).
     from music_generator_tpu.utils import param_summary
-    print(param_summary(params))
+    print(param_summary(
+        jax.eval_shape(lambda: init_params(jax.random.key(seed), cfg))))
     if not allow_load:
-        return params, False
+        return init_params(jax.random.key(seed), cfg), False
     store = CheckpointStore(path or cfg.model_file)
     if not store.exists():
         print("Unable to load model from file.")
-        return params, False
+        return init_params(jax.random.key(seed), cfg), False
     try:
         from music_generator_tpu.parallel.train_step import create_train_state
         target, _ = create_train_state(model, seed)
@@ -70,4 +74,4 @@ def build_or_load(model: DeepJ, seed: int = 0,
         return jax.tree.map(jax.numpy.asarray, restored.params), True
     except Exception as e:  # parity: never fail startup on a bad checkpoint
         print(f"Unable to load model from file. ({type(e).__name__}: {e})")
-        return params, False
+        return init_params(jax.random.key(seed), cfg), False

@@ -111,21 +111,6 @@ REFERENCE_LAYER_TABLE = (
     ("concatenate_3", None),
 )
 
-# Inner-layer names for the weighted wrapper groups, in the same order the
-# weighted rows appear above (used by the exporter's weight names).
-_INNER_NAMES = {
-    "time_distributed_1": "conv1d_1",
-    "time_distributed_4": "lstm_1",
-    "time_distributed_6": "lstm_2",
-    "time_distributed_8": "lstm_3",
-    "time_distributed_10": "lstm_4",
-    "dense_1": "dense_1", "dense_2": "dense_2",
-    "dense_3": "dense_3", "dense_4": "dense_4",
-    "style": "style", "note_dense": "note_dense",
-    "volume_dense": "volume_dense",
-}
-
-
 def _decode(names) -> List[str]:
     return [n.decode() if isinstance(n, bytes) else str(n) for n in names]
 

@@ -72,8 +72,6 @@ def maybe_init_distributed() -> None:
     `jax.distributed.initialize()` auto-detects the cluster from the TPU
     metadata — detected here by a multi-worker TPU_WORKER_HOSTNAMES or a
     MEGASCALE coordinator.  Set DEEPJ_DISTRIBUTED=1 to force, 0 to disable."""
-    if jax.process_count() > 1:
-        return  # already initialized
     force = os.environ.get("DEEPJ_DISTRIBUTED")
     if force == "0":
         return
@@ -82,6 +80,15 @@ def maybe_init_distributed() -> None:
     pod = (len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not (explicit or pod or force == "1"):
+        return
+    # CRITICAL ordering: nothing that touches the XLA backend may run
+    # before initialize() — even jax.process_count() initializes it, and
+    # initialize() then hard-raises ("must be called before any JAX calls
+    # that might initialise the XLA backend"), silently degrading every
+    # pod host to an independent single-process run (review r4 finding —
+    # the old code guarded with process_count() and so ALWAYS failed).
+    # is_initialized() only checks distributed state, no backend touch.
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize()
@@ -150,7 +157,8 @@ class Trainer:
         shard_batch assembles the global batch (batch_size x process_count
         rows) that each collective train step consumes."""
         cfg, tc = self.cfg, self.tc
-        epochs = epochs if epochs is not None else (tc.epochs or cfg.epochs)
+        epochs = epochs if epochs is not None else (
+            tc.epochs if tc.epochs is not None else cfg.epochs)
         patience = tc.patience if tc.patience is not None \
             else cfg.early_stop_patience
         batch_size = cfg.batch_size
@@ -169,9 +177,14 @@ class Trainer:
         batch_size = -(-batch_size // div) * div
 
         logger = MetricLogger(cfg.log_dir, tensorboard=tc.tensorboard)
-        # Timesteps per global batch: the BASELINE metric counts piano-roll
+        # Timesteps per GLOBAL batch: the BASELINE metric counts piano-roll
         # timesteps (batch × seq_len), as derived in SURVEY.md §6.
-        meter = Throughput(batch_size * ds.notes.shape[1])
+        # batch_size is the PER-HOST feed; every collective step consumes
+        # batch_size × process_count rows (fit docstring), so multi-host
+        # throughput must count the global batch (review r4 finding: the
+        # per-host figure under-reported by process_count).
+        global_batch = batch_size * jax.process_count()
+        meter = Throughput(global_batch * ds.notes.shape[1])
 
         rng = np.random.default_rng(tc.seed)
         best_loss = float("inf")
@@ -223,7 +236,7 @@ class Trainer:
             history["steps_per_epoch"].append(len(epoch_losses))
             dt = time.perf_counter() - t0
             history["epoch_seconds"].append(dt)
-            rate = len(epoch_losses) * batch_size * ds.notes.shape[1] / dt
+            rate = len(epoch_losses) * global_batch * ds.notes.shape[1] / dt
             print(f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.4f} "
                   f"({dt:.1f}s, {rate:.0f} timesteps/s)")
             logger.log(epoch + 1, {"epoch_loss": epoch_loss}, prefix="epoch")

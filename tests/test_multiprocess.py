@@ -106,3 +106,30 @@ def test_two_process_trainer_fit_uneven_corpus(tmp_path):
     # weighted out, so the collective eval equals the plain per-window mean
     # over the 17-window global corpus computed locally.
     np.testing.assert_allclose(h0["eval_loss"], h0["eval_oracle"], rtol=1e-4)
+
+
+def test_maybe_init_distributed_reaches_initialize_before_backend():
+    """maybe_init_distributed must call jax.distributed.initialize()
+    BEFORE anything touches the XLA backend: the pre-r4 code guarded
+    with jax.process_count(), which initializes the backend, so
+    initialize() always raised the 'must be called before any JAX
+    calls' RuntimeError and every pod host silently degraded to an
+    independent single-process run (review r4 finding).  On this
+    single-host box the expected failure is the coordinator-address
+    ValueError — proof the call got past the backend guard."""
+    code = (
+        "import io, contextlib\n"
+        "from music_generator_tpu.training.trainer import "
+        "maybe_init_distributed\n"
+        "buf = io.StringIO()\n"
+        "with contextlib.redirect_stdout(buf):\n"
+        "    maybe_init_distributed()\n"
+        "out = buf.getvalue()\n"
+        "assert 'must be called before any JAX calls' not in out, out\n"
+        "print(out.strip())\n"
+    )
+    env = dict(os.environ, DEEPJ_DISTRIBUTED="1", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
