@@ -147,17 +147,11 @@ def generate_main(argv=None) -> None:
 
     prime = None
     if args.prime:
-        from music_generator_tpu.data.dataset import clamp_midi
-        from music_generator_tpu.midi.codec import midi_decode
-        from music_generator_tpu.midi.io import read_midifile
-        # Decode directly (no load_midi): its cache path would drop a
-        # stray .npy next to an absolute --prime path (or crash on a
-        # read-only directory), and a one-off prime gains nothing from
-        # caching anyway.
-        prime = clamp_midi(midi_decode(read_midifile(args.prime),
-                                       cfg.midi_max_notes, config=cfg), cfg)
-        if args.prime_bars is not None:
-            prime = prime[:args.prime_bars * cfg.notes_per_bar]
+        from music_generator_tpu.data.dataset import decode_prime
+        try:
+            prime = decode_prime(args.prime, args.prime_bars, config=cfg)
+        except ValueError as e:
+            raise SystemExit(f"--prime {args.prime}: {e}")
         print(f"Priming with {prime.shape[0]} steps "
               f"({prime.shape[0] / cfg.notes_per_bar:g} bars) "
               f"from {args.prime}")

@@ -83,6 +83,42 @@ def unclamp_midi(sequence: np.ndarray, config: Optional[Config] = None) -> np.nd
     return np.pad(sequence, ((0, 0), (cfg.min_note, 0), (0, 0)), "constant")
 
 
+def decode_prime(source, prime_bars: Optional[int] = None,
+                 max_bars: int = 4096,
+                 config: Optional[Config] = None) -> np.ndarray:
+    """Decode a .mid (path or file-like) into a clamped [T, num_notes, 3]
+    roll for primed continuation — the single implementation behind
+    `generate.py --prime` and serving's `prime_midi` (review r4: the two
+    surfaces had diverged — the CLI lacked the parse guard, the length
+    ceiling, and the prime_bars floor, and a negative --prime-bars silently
+    sliced from the END of the piece).
+
+    Deliberately bypasses load_midi's cache: a one-off prime gains nothing
+    from caching.  Raises ValueError for unparseable input, for primes
+    longer than `max_bars` bars (the prime advance is O(length) device
+    work — same ceiling serving applies to `bars`), and for negative
+    prime_bars."""
+    from music_generator_tpu.midi.codec import midi_decode
+    from music_generator_tpu.midi.io import read_midifile
+
+    cfg = config or default_config()
+    try:
+        roll = midi_decode(read_midifile(source), cfg.midi_max_notes,
+                           config=cfg)
+    except Exception as e:
+        raise ValueError(f"not a valid MIDI file: {e}")
+    roll = clamp_midi(roll, cfg)
+    if prime_bars is not None:
+        prime_bars = int(prime_bars)
+        if prime_bars < 0:
+            raise ValueError(f"prime_bars must be >= 0, got {prime_bars}")
+        roll = roll[:prime_bars * cfg.notes_per_bar]
+    if roll.shape[0] > max_bars * cfg.notes_per_bar:
+        raise ValueError(
+            f"prime too long (> {max_bars * cfg.notes_per_bar} steps)")
+    return roll
+
+
 def transpose_augment(seq: np.ndarray, shift: int) -> np.ndarray:
     """Transpose a clamped [T, num_notes, 3] roll by `shift` semitones,
     zero-filling the vacated edge.  No reference counterpart (the north-star

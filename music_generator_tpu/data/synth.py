@@ -80,8 +80,14 @@ def synth_piece(style_id: int, bars: int = 16, seed: int = 0,
             return
         dur = min(dur, T - t0)
         # Re-articulation if the same pitch is already sounding at t0.
+        # A re-struck note KEEPS the sounding volume: the decoder's pinned
+        # replay quirk (codec.py module doc) carries the previous volume
+        # through a re-articulation, so this is the only volume a replay
+        # cell can round-trip to — the corpus stays a codec fixed point
+        # (review r4: accented re-strikes wrote unrepresentable volumes).
         if t0 > 0 and roll[t0 - 1, pitch, 0] > 0:
             roll[t0, pitch, 1] = 1.0
+            vol = roll[t0 - 1, pitch, 2]
         roll[t0:t0 + dur, pitch, 0] = 1.0
         roll[t0:t0 + dur, pitch, 2] = vol
 
@@ -117,6 +123,62 @@ def synth_piece(style_id: int, bars: int = 16, seed: int = 0,
     return roll
 
 
+def _encode_replay_preserving(roll: np.ndarray, cfg: Config):
+    """Encode a [T, 128, 3] roll as a Pattern whose re-articulations SURVIVE
+    the decoder.
+
+    `midi_encode` — bit-for-bit with the reference — emits a replay as a
+    same-instant NoteOff+NoteOn pair on the frame grid, where the decoder's
+    pinned quirk (codec.py module doc: the reference's downsample buffer is
+    reset at frame boundaries, ref: midi_util.py:136-148) suppresses replay
+    detection — so ANY roll self-round-tripped through the reference codec
+    loses its replay channel (review r4 finding: the synthetic evidence
+    corpus trained the replay head on all-zero targets).  Real corpora
+    don't, because their re-articulations land at arbitrary ticks INSIDE
+    frames.  This writer reproduces that shape: 4 ticks per roll row
+    (resolution = 4 × notes_per_beat), note boundaries on the row grid, and
+    each re-articulation as a bare NoteOn over the sounding note one tick
+    into its frame — which the decoder maps back to (replay=1, previous
+    volume kept) in exactly the source row."""
+    from music_generator_tpu.midi.events import (
+        EndOfTrackEvent, NoteOffEvent, NoteOnEvent, Pattern, Track)
+
+    S = 4                                   # ticks per roll row
+    play, replay, volume = roll[..., 0], roll[..., 1], roll[..., 2]
+    T, classes = play.shape
+    events = []                             # (abs_tick, NoteOn?, pitch, vel)
+    current = np.zeros(classes)
+    for t in range(T):
+        row = play[t]
+        for p in np.nonzero((current > 0) & (row == 0))[0]:
+            events.append((S * t, False, int(p), 0))
+        for p in np.nonzero((row > 0) & (current == 0))[0]:
+            events.append((S * t, True, int(p),
+                           int(round(volume[t, p] * cfg.max_velocity))))
+        for p in np.nonzero((current > 0) & (row > 0) & (replay[t] > 0))[0]:
+            events.append((S * t + 1, True, int(p),
+                           int(round(volume[t, p] * cfg.max_velocity))))
+        current = row
+    for p in np.nonzero(current > 0)[0]:
+        events.append((S * T, False, int(p), 0))
+    events.sort(key=lambda e: e[0])         # stable: off<on<replay per tick
+
+    track = Track()
+    last = 0
+    for tick, is_on, pitch, vel in events:
+        if is_on:
+            track.append(NoteOnEvent(tick=tick - last, velocity=vel,
+                                     pitch=pitch))
+        else:
+            track.append(NoteOffEvent(tick=tick - last, pitch=pitch))
+        last = tick
+    # Pin the decoded length to T rows (+ the decoder's tail frame) even if
+    # the piece ends in silence: EndOfTrack's tick advances the decoder's
+    # clock (codec.py:82-87).
+    track.append(EndOfTrackEvent(tick=S * T - last))
+    return Pattern([track], resolution=cfg.notes_per_beat * S, fmt=1)
+
+
 def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
                        files_per_style: int = 3, bars: int = 16,
                        seed: int = 0, shift: int = 0,
@@ -128,7 +190,6 @@ def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
     transform training augmentation uses (dataset.transpose_augment), for
     pitch-invariance evaluation corpora (tools/run_augment_study.py)."""
     from music_generator_tpu.data.dataset import transpose_augment
-    from music_generator_tpu.midi.codec import midi_encode
     from music_generator_tpu.midi.io import write_midifile
 
     cfg = config or default_config()
@@ -152,7 +213,7 @@ def write_synth_corpus(root: str, styles: Optional[Sequence[int]] = None,
             roll = np.zeros_like(roll)
             roll[:, cfg.min_note:cfg.max_note] = clamped
             path = os.path.join(d, f"synth_{style_id}_{i}.mid")
-            write_midifile(path, midi_encode(roll, step=1, config=cfg))
+            write_midifile(path, _encode_replay_preserving(roll, cfg))
             paths.append(path)
     return paths
 

@@ -461,6 +461,11 @@ class Sampler:
         with jax.default_matmul_precision(self.cfg.gen_matmul_precision):
             style_emb = self.model.style_embedding(self.params, styles_arr)
 
+        if num_bars < 0:
+            # Otherwise the chunk loop never runs and the assembly below
+            # dereferences None (review r4: `--bars -1` raised an opaque
+            # TypeError; serving clamps independently, the CLI doesn't).
+            raise ValueError(f"num_bars must be >= 0, got {num_bars}")
         num_steps = cfg.notes_per_bar * num_bars
         chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
         temp = self.default_temp if temperature is None else float(temperature)
@@ -472,9 +477,14 @@ class Sampler:
             G_pad = styles_arr.shape[0]
             if prime.ndim == 3:
                 prime = np.broadcast_to(prime[None], (G_pad,) + prime.shape)
-            elif prime.shape[0] > G_pad:
+            elif prime.shape[0] != G_real:
+                # Validate against the REAL stream count, not the padded
+                # batch: on a mesh (G_pad > G_real) a count in
+                # (G_real, G_pad] used to be silently wrap-padded and the
+                # extra primes attached to padding streams that are sliced
+                # off — same call raised on a single chip (review r4).
                 raise ValueError(
-                    f"prime has {prime.shape[0]} streams but only "
+                    f"prime has {prime.shape[0]} streams but "
                     f"{G_real} style mixtures were given")
             elif prime.shape[0] != G_pad:       # pad like the styles were
                 prime = np.concatenate(

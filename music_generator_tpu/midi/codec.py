@@ -27,6 +27,14 @@ Encode (roll → events), ref: midi_util.py:9-95:
   * Held notes are flushed with NoteOffs after the last row; EndOfTrack's
     delta is the trailing no-op row count, NOT scaled by `step`
     (ref: midi_util.py:77-93).
+  * A play=1 / volume=0 cell emits NoteOn with velocity 0 (ref:
+    midi_util.py:41-45 — velocity = volume*127 unconditionally), which MIDI
+    consumers — including this decoder (play = ceil(volume) = 0) — treat as
+    note-off: such a note is silently absent from a re-decode.  The sampler
+    can produce the combination (volume head clipped to 0 on a played
+    step), so a piece primed from its own written .mid may differ there.
+    Kept as-is: "fixing" it (a velocity floor) would change encoder bytes
+    vs the reference (pinned: test_codec.py::test_encode_zero_volume...).
 
 This implementation is vectorized: decode runs one Python pass over events
 (state tracking) + numpy frame aggregation; encode loops only over changed
@@ -277,7 +285,14 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
     re-decoding — correctness over the cache hit; a decode is cheap and
     ties vanish once the clock tick passes."""
     cfg = config or default_config()
-    cache_path = os.path.join(cfg.cache_dir, fname + ".npy")
+    # Key the cache by the source path, but always UNDER cache_dir: the
+    # reference's bare join (ref: midi_util.py:197) resolves an absolute
+    # fname to the corpus directory itself, littering it with .npy files
+    # (or crashing on read-only corpora) — review r4 finding.  Relative
+    # paths (the standard data/<genre>/<composer> layout) are unchanged.
+    rel = os.path.splitdrive(fname)[1].lstrip(os.sep) \
+        if os.path.isabs(fname) else fname
+    cache_path = os.path.join(cfg.cache_dir, rel + ".npy")
     try:
         if os.path.getmtime(cache_path) <= os.path.getmtime(fname):
             raise OSError("stale cache")
@@ -291,8 +306,15 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
         else:
             pattern = read_midifile(fname)
             note_seq = midi_decode(pattern, cfg.midi_max_notes, config=cfg)
-        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        np.save(cache_path, note_seq)
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            np.save(cache_path, note_seq)
+        except OSError:
+            # The cache is an optimization: a full disk / read-only
+            # out_dir must not discard a successful decode (review r4:
+            # the caller treats the exception as an unreadable MIDI and
+            # silently drops the file from the corpus).
+            pass
 
     assert len(note_seq.shape) == 3, note_seq.shape
     assert note_seq.shape[1] == cfg.midi_max_notes, note_seq.shape

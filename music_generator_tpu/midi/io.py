@@ -76,9 +76,19 @@ def _parse_track(data: bytes) -> Track:
 
         if status == 0xFF:
             running_status = None
-            meta_type = buf.read(1)[0]
+            mt = buf.read(1)
+            if not mt:
+                raise EOFError("truncated meta event")
+            meta_type = mt[0]
             length = _read_varlen(buf)
             payload = buf.read(length)
+            if len(payload) < length:
+                # Same hardening as channel events below: a declared
+                # length past EOF is a malformed file, not a short
+                # payload (review r4: silent truncation here let a
+                # crafted upload parse "successfully" with e.g. a
+                # 0-byte SetTempo payload).
+                raise EOFError("truncated meta event")
             cls = META_CLASSES.get(meta_type)
             if cls is not None:
                 evt = cls.__new__(cls)
@@ -94,6 +104,8 @@ def _parse_track(data: bytes) -> Track:
             running_status = None
             length = _read_varlen(buf)
             payload = buf.read(length)
+            if len(payload) < length:
+                raise EOFError("truncated sysex event")
             track.append(SysexEvent(tick, status, payload))
         else:
             nibble = status >> 4

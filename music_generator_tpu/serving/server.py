@@ -107,25 +107,20 @@ class GenerationService:
             return None
         import base64
 
-        from music_generator_tpu.data.dataset import clamp_midi
-        from music_generator_tpu.midi.codec import midi_decode
-        from music_generator_tpu.midi.io import read_midifile
+        from music_generator_tpu.data.dataset import decode_prime
         try:
             raw = base64.b64decode(b64, validate=True)
-            pattern = read_midifile(io.BytesIO(raw))
-            roll = midi_decode(pattern, self.cfg.midi_max_notes,
-                               config=self.cfg)
         except Exception as e:
-            raise ValueError(f"prime_midi is not a valid MIDI file: {e}")
-        roll = clamp_midi(roll, self.cfg)
-        prime_bars = payload.get("prime_bars")
-        if prime_bars is not None:
-            roll = roll[:max(0, int(prime_bars)) * self.cfg.notes_per_bar]
-        # Same ceiling as bars: the prime advance is O(length) device work.
-        max_steps = 4096 * self.cfg.notes_per_bar
-        if roll.shape[0] > max_steps:
-            raise ValueError(f"prime too long (> {max_steps} steps)")
-        return roll
+            raise ValueError(f"prime_midi is not valid base64: {e}")
+        try:
+            # Shared with the CLI's --prime: parse guard, clamp,
+            # prime_bars truncation, and the 4096-bar length ceiling
+            # (the prime advance is O(length) device work) all live in
+            # decode_prime.
+            return decode_prime(io.BytesIO(raw),
+                                payload.get("prime_bars"), config=self.cfg)
+        except ValueError as e:
+            raise ValueError(f"prime_midi: {e}")
 
     def generate(self, mixture=None, bars: int = 8, seed: int = 0,
                  temperature: float = 1.0, prime=None,

@@ -315,6 +315,22 @@ def test_encode_replay_without_row_change_is_dropped():
     assert kinds == ["NoteOnEvent", "NoteOffEvent", "EndOfTrackEvent"]
 
 
+def test_encode_zero_volume_note_on_quirk():
+    """A play=1 / volume=0 cell emits NoteOn with velocity 0 — which MIDI
+    (and this decoder: play = ceil(0) = 0) treats as note-off, so the note
+    vanishes on re-decode.  Inherited from the reference's unconditional
+    velocity = volume*127 (ref: midi_util.py:41-45); pinned so nobody
+    "fixes" the encoder into byte divergence (codec.py module doc)."""
+    roll = np.zeros((2, 1, 3))
+    roll[0, 0] = [1.0, 0.0, 0.0]          # played, volume exactly 0
+    pattern = midi.midi_encode(roll, step=1)
+    track = pattern[0]
+    assert type(track[0]).__name__ == "NoteOnEvent"
+    assert track[0].velocity == 0
+    decoded = midi.midi_decode(pattern, classes=1, step=1)
+    assert decoded[..., 0].sum() == 0     # silently absent on re-decode
+
+
 def test_encode_trailing_silence_eot_tick():
     """EndOfTrack carries the trailing no-op row count, unscaled by step
     (ref: midi_util.py:73,92)."""

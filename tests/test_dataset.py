@@ -229,3 +229,35 @@ def test_load_all_skips_corrupt_files(tmp_path):
     finally:
         os.chdir(cwd)
     assert len(ds) > 0   # the good file still loads
+
+
+def test_decode_prime_shared_guards(tmp_path):
+    """decode_prime is the single implementation behind the CLI's --prime
+    and serving's prime_midi (review r4: the two had diverged).  Guards:
+    parse errors → ValueError, prime_bars truncates with a floor at 0
+    (negative raises instead of slicing from the END), over-long primes
+    rejected."""
+    from music_generator_tpu.data.dataset import decode_prime
+
+    roll = np.zeros((2 * CFG.notes_per_bar, CFG.midi_max_notes, 3))
+    roll[::4, 60, 0] = 1.0
+    roll[::4, 60, 2] = 0.5
+    path = str(tmp_path / "p.mid")
+    midi.write_midifile(path, midi.midi_encode(roll, step=1))
+
+    full = decode_prime(path, config=CFG)
+    assert full.shape[1:] == (CFG.num_notes, 3)
+    one_bar = decode_prime(path, prime_bars=1, config=CFG)
+    assert one_bar.shape[0] == CFG.notes_per_bar
+    np.testing.assert_array_equal(one_bar, full[:CFG.notes_per_bar])
+
+    with pytest.raises(ValueError, match="prime_bars"):
+        decode_prime(path, prime_bars=-1, config=CFG)
+    with pytest.raises(ValueError, match="too long"):
+        decode_prime(path, max_bars=1, config=CFG)
+
+    bad = str(tmp_path / "bad.mid")
+    with open(bad, "wb") as f:
+        f.write(b"not a midi file")
+    with pytest.raises(ValueError, match="not a valid MIDI"):
+        decode_prime(bad, config=CFG)

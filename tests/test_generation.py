@@ -292,12 +292,35 @@ def test_prime_with_more_streams_than_styles_rejected(sampler):
         sampler.generate(styles, num_bars=1, seed=0, prime=bad)
 
 
+def test_prime_stream_mismatch_rejected_even_under_padding(sampler):
+    """A per-stream prime count that differs from the REAL style count must
+    raise even when batch padding would make room for it (review r4: on a
+    mesh, 6 primes for 3 styles padded to 8 were silently accepted and
+    primes 3-5 attached to padding streams that get sliced off)."""
+    styles = [compute_genre(i % 3, CFG) for i in range(3)]
+    bad = np.zeros((6, CFG.notes_per_bar, CFG.num_notes, 3), np.float32)
+    with pytest.raises(ValueError, match="streams but"):
+        sampler.generate(styles, num_bars=1, seed=0, prime=bad, pad_to=8)
+    too_few = bad[:2]
+    with pytest.raises(ValueError, match="streams but"):
+        sampler.generate(styles, num_bars=1, seed=0, prime=too_few)
+
+
 def test_zero_bars_returns_empty_result(sampler):
     """--bars 0 (e.g. 'just run the prime') returns an empty roll instead
     of crashing in the transfer-pipeline drain."""
     styles = [compute_genre(0, CFG)]
     res = sampler.generate(styles, num_bars=0, seed=0)
     assert res.notes.shape == (1, 0, CFG.num_notes, 3)
+
+
+def test_negative_bars_rejected(sampler):
+    """num_bars < 0 raises a clear ValueError instead of dereferencing the
+    never-filled transfer pipeline (review r4: --bars -1 crashed with
+    'NoneType' is not subscriptable)."""
+    styles = [compute_genre(0, CFG)]
+    with pytest.raises(ValueError, match="num_bars"):
+        sampler.generate(styles, num_bars=-1, seed=0)
 
 
 def test_chunked_streaming_equals_monolithic(sampler):

@@ -167,6 +167,28 @@ def test_truncated_file_raises():
             raise ValueError("no tracks")
 
 
+def test_truncated_meta_and_sysex_payloads_raise():
+    """Meta/sysex events whose declared length exceeds the remaining track
+    bytes must raise like truncated channel events do, not parse with a
+    silently shortened payload (review r4: a crafted upload could smuggle
+    e.g. a 0-byte SetTempo through the hardened parse boundary)."""
+    import pytest
+
+    def track_bytes(body: bytes) -> bytes:
+        return (b"MThd" + (6).to_bytes(4, "big") + (1).to_bytes(2, "big")
+                + (1).to_bytes(2, "big") + (96).to_bytes(2, "big")
+                + b"MTrk" + len(body).to_bytes(4, "big") + body)
+
+    # delta 0, meta 0x51 (SetTempo) declaring 3 payload bytes, none present.
+    bad_meta = track_bytes(bytes([0x00, 0xFF, 0x51, 0x03]))
+    with pytest.raises(EOFError, match="meta"):
+        midi.read_midifile(io.BytesIO(bad_meta))
+    # delta 0, sysex 0xF0 declaring 4 payload bytes, one present.
+    bad_sysex = track_bytes(bytes([0x00, 0xF0, 0x04, 0x7E]))
+    with pytest.raises(EOFError, match="sysex"):
+        midi.read_midifile(io.BytesIO(bad_sysex))
+
+
 def test_notes_above_clamp_range_survive_decode():
     """Full-range decode keeps pitches outside [36, 84); clamping is the
     dataset's job (ref: dataset.py:78-82), not the codec's."""

@@ -136,6 +136,45 @@ def test_load_midi_uses_native_and_caches(tmp_path, monkeypatch):
     np.testing.assert_array_equal(roll, roll2)
 
 
+def test_load_midi_absolute_path_caches_under_cache_dir(tmp_path, monkeypatch):
+    """An absolute corpus path must cache UNDER cache_dir, not write a
+    stray .npy next to the source (review r4: the reference-style bare
+    join resolves absolute fnames to the corpus directory itself)."""
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import load_midi
+    cfg = default_config().replace(out_dir=str(tmp_path / "out"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    monkeypatch.chdir(tmp_path)
+    src = str(corpus / "a.mid")
+    midi.write_midifile(src, _random_pattern(3))
+    roll = load_midi(src, cfg)
+    assert roll.shape[1:] == (128, 3)
+    assert list(corpus.iterdir()) == [corpus / "a.mid"]   # no stray .npy
+    cached = os.path.join(cfg.cache_dir, src.lstrip(os.sep) + ".npy")
+    assert os.path.exists(cached)
+    np.testing.assert_array_equal(roll, load_midi(src, cfg))  # hit path
+
+
+def test_load_midi_survives_unwritable_cache(tmp_path, monkeypatch):
+    """A failed cache write must not discard a successful decode (review
+    r4: the caller treats the exception as an unreadable MIDI and silently
+    drops the file from the corpus)."""
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import load_midi
+    blocked = tmp_path / "out"
+    blocked.mkdir(mode=0o500)              # read+execute only
+    cfg = default_config().replace(out_dir=str(blocked))
+    monkeypatch.chdir(tmp_path)
+    midi.write_midifile("w.mid", _random_pattern(5))
+    try:
+        roll = load_midi("w.mid", cfg)
+    finally:
+        blocked.chmod(0o700)
+    expected = midi.midi_decode(midi.read_midifile("w.mid"), 128)
+    np.testing.assert_array_equal(roll, expected)
+
+
 def test_load_midi_invalidates_stale_cache(tmp_path, monkeypatch):
     """Rewriting the source .mid must invalidate its .npy cache (deliberate
     improvement over the reference, which serves stale decodes forever)."""

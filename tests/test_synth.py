@@ -50,6 +50,28 @@ def test_styles_are_separable():
     assert np.minimum(h0a, h5).sum() < 0.5
 
 
+def test_written_corpus_round_trips_exactly_including_replay(tmp_path):
+    """The written corpus must decode back to the source roll EXACTLY on all
+    three channels.  Replay is the load-bearing one: midi_encode's
+    same-instant off+on replay pair lands on the frame grid, where the
+    decoder's pinned quirk suppresses replay — so a corpus written that way
+    trained the replay head on all-zero targets (review r4 finding).  The
+    replay-preserving writer places re-strikes one tick inside the frame,
+    like real corpora do."""
+    from music_generator_tpu.midi.codec import midi_decode
+    from music_generator_tpu.midi.io import read_midifile
+
+    cfg = CFG
+    paths = write_synth_corpus(str(tmp_path), styles=[0], files_per_style=1,
+                               bars=4, config=cfg)
+    src = synth_piece(0, bars=4, seed=0, config=cfg)
+    assert src[..., 1].sum() > 0, "source must contain re-articulations"
+    dec = midi_decode(read_midifile(paths[0]), cfg.midi_max_notes, config=cfg)
+    T = src.shape[0]
+    np.testing.assert_array_equal(dec[:T], src)
+    assert dec[T:].sum() == 0          # decoder tail frame only
+
+
 def test_corpus_loads_through_pipeline(tmp_path, monkeypatch):
     cfg = CFG.replace(bars_per_seq=2, out_dir=str(tmp_path / "out"))
     paths = write_synth_corpus(str(tmp_path), styles=[0, 1],
