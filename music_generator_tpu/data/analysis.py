@@ -71,10 +71,15 @@ def piece_metrics(roll: np.ndarray, max_lag: int = 64) -> Dict:
     autocorrelation (lag 16 = one bar on the 16th-note grid)."""
     from music_generator_tpu.data.synth import pitch_class_histogram
     ac = autocorrelation(roll, max_lag=max_lag)
+    sounding = int((roll[:, :, 0] > 0).sum())
     return {
         "timesteps": int(len(roll)),
-        "notes": int((roll[:, :, 0] > 0).sum()),
-        "note_density": float((roll[:, :, 0] > 0).sum() / max(1, len(roll))),
+        "notes": sounding,
+        "note_density": float(sounding / max(1, len(roll))),
+        # Re-articulations per sounding cell — the replay head's footprint
+        # in the music (published pieces re-strike held notes; a model
+        # whose replay head never fires scores 0 here).
+        "replay_rate": float(roll[:, :, 1].sum() / max(1, sounding)),
         "polyphony": polyphony(roll),
         "velocity": velocity_stats(roll),
         "pitch_class_profile": [round(float(x), 4)

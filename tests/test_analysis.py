@@ -59,3 +59,19 @@ def test_analyze_corpus_end_to_end(tmp_path, monkeypatch):
     assert (adir / "autocorrelation.tsv").exists()
     loaded = json.load(open(adir / "corpus_stats.json"))
     assert loaded["num_files"] == 1
+
+
+def test_piece_metrics_replay_rate():
+    """replay_rate = re-articulation events per sounding cell: the replay
+    head's footprint in the music (published pieces re-strike held notes;
+    a model whose replay head never fires scores exactly 0)."""
+    from music_generator_tpu.data.analysis import piece_metrics
+
+    roll = np.zeros((8, 128, 3))
+    roll[:, 60, 0] = 1.0            # 8 sounding cells
+    roll[4, 60, 1] = 1.0            # one re-strike mid-note
+    roll[:, 60, 2] = 0.5
+    m = piece_metrics(roll)
+    assert m["notes"] == 8
+    assert m["replay_rate"] == 1.0 / 8
+    assert piece_metrics(np.zeros((4, 128, 3)))["replay_rate"] == 0.0

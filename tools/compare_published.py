@@ -163,6 +163,11 @@ def main(argv=None):
                                              ["velocity", "std"]), 3),
                     "generated": round(_mean(generated[genre],
                                              ["velocity", "std"]), 3)},
+                "replay_rate": {
+                    "published": round(_mean(published[genre],
+                                             ["replay_rate"]), 3),
+                    "generated": round(_mean(generated[genre],
+                                             ["replay_rate"]), 3)},
                 "autocorr_bar": {
                     "published": round(_mean(published[genre],
                                              ["autocorr_bar"]), 3),
@@ -190,7 +195,7 @@ def main(argv=None):
     for genre in GENRE_NAMES:
         s = report["genres"][genre]["summary"]
         for metric in ("note_density", "polyphony", "velocity_mean",
-                       "velocity_std", "autocorr_bar"):
+                       "velocity_std", "replay_rate", "autocorr_bar"):
             lines.append(f"| {genre} | {metric} | "
                          f"{s[metric]['published']} | "
                          f"{s[metric]['generated']} |")
