@@ -111,16 +111,30 @@ def main(argv=None):
                 synth_piece(s, bars=args.bars, seed=0,
                             config=cfg)[:, cfg.min_note:cfg.max_note])).sum())
             for s in args.styles if s != style_id]
+        corpus_roll = synth_piece(style_id, bars=args.bars, seed=0,
+                                  config=cfg)[:, cfg.min_note:cfg.max_note]
         fidelity.append({
             "style": style_id,
             "notes": int(gen[..., 0].sum()),
             "own_overlap": float(np.minimum(h_gen, h_own).sum()),
             "max_other_overlap": max(others),
+            # Replay measured on the RAW sampled roll — a decode of the
+            # written .mid always reads 0 here because midi_encode's
+            # same-instant off+on replay pairs land on the frame grid
+            # where the decoder's pinned quirk suppresses them
+            # (codec.py module doc).
+            "replay_rate": float(gen[..., 1].sum()
+                                 / max(1, (gen[..., 0] > 0).sum())),
+            "corpus_replay_rate": float(
+                corpus_roll[..., 1].sum()
+                / max(1, (corpus_roll[..., 0] > 0).sum())),
             "sample": paths[i],
         })
         print(f"style {style_id}: own={fidelity[-1]['own_overlap']:.3f} "
               f"max_other={fidelity[-1]['max_other_overlap']:.3f} "
-              f"notes={fidelity[-1]['notes']}")
+              f"notes={fidelity[-1]['notes']} "
+              f"replay={fidelity[-1]['replay_rate']:.4f} "
+              f"(corpus {fidelity[-1]['corpus_replay_rate']:.4f})")
 
     report = {
         "backend": jax.default_backend(),
