@@ -12,8 +12,12 @@ Regenerates in place:
       real_corpus_r3/params.npz, styles 0/3/9, 16 bars, seed 0, T=0.75
   artifacts/long_samples_r3/long_{0..2}.mid
       trained_model_r3/params.npz, 3 genre mixtures, 64 bars, seed 0
+  artifacts/long_samples_r4/long_{0..2}.mid
+      trained_model_r4/params.npz (the replay-correct-corpus flagship),
+      3 genre mixtures, 64 bars, seed 0
 
 Run on the TPU box from /root/repo:  python tools/regen_artifacts_r4.py
+(`--only SUBSTR` restricts to matching jobs, e.g. --only long_samples_r4).
 """
 
 import argparse
@@ -37,10 +41,20 @@ JOBS = [
      "real_corpus_r3/params.npz", "0,3,9", 16, 0, 0.75),
     ("long_samples_r3", "long_{i}.mid",
      "trained_model_r3/params.npz", "genres", 64, 0, 1.0),
+    ("long_samples_r4", "long_{i}.mid",
+     "trained_model_r4/params.npz", "genres", 64, 0, 1.0),
 ]
 
 
-def run_jobs(dest_root: str) -> None:
+def _select_jobs(only):
+    """`--only SUBSTR` filters the matrix by artifact dir or checkpoint —
+    lets a new entry regenerate + verify without re-running all of it."""
+    if not only:
+        return JOBS
+    return [j for j in JOBS if only in j[0] or only in j[2]]
+
+
+def run_jobs(dest_root: str, only: str = "") -> None:
     import numpy as np
 
     from music_generator_tpu.config import default_config
@@ -58,7 +72,7 @@ def run_jobs(dest_root: str) -> None:
     print("backend:", jax.default_backend())
 
     samplers = {}
-    for out_dir, name_fmt, params_rel, styles_spec, bars, seed, temp in JOBS:
+    for out_dir, name_fmt, params_rel, styles_spec, bars, seed, temp in _select_jobs(only):
         if params_rel not in samplers:
             params = _params_from_npz(model, os.path.join(ART, params_rel))
             samplers[params_rel] = Sampler(model, params)
@@ -87,30 +101,34 @@ def main(argv=None):
                              "writes to a scratch dir for comparison)")
     parser.add_argument("--phase", default="main",
                         choices=["main", "cpu-child"])
+    parser.add_argument("--only", default="",
+                        help="regenerate/verify only jobs whose artifact "
+                             "dir or checkpoint contains this substring")
     args = parser.parse_args(argv)
 
     if args.phase == "cpu-child":
         import jax
         jax.config.update("jax_platforms", "cpu")
         assert jax.default_backend() == "cpu"
-        run_jobs(args.dest)
+        run_jobs(args.dest, args.only)
         return
 
     from music_generator_tpu.utils.compile_cache import enable
     enable()
-    run_jobs(ART)
+    run_jobs(ART, args.only)
 
     # CPU child regenerates the same matrix into a scratch tree; every
     # committed byte must reproduce.
     scratch = os.path.join(REPO, "runs", "regen_r4_cpu")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run([sys.executable, os.path.abspath(__file__),
-                    "--phase", "cpu-child", "--dest", scratch],
+                    "--phase", "cpu-child", "--dest", scratch,
+                    "--only", args.only],
                    check=True, env=env, cwd=REPO)
 
     mismatches = []
     checked = 0
-    for out_dir, name_fmt, *_ in JOBS:
+    for out_dir, name_fmt, *_ in _select_jobs(args.only):
         for i in range(3):
             name = name_fmt.format(i=i)
             a = os.path.join(ART, out_dir, name)
@@ -125,6 +143,9 @@ def main(argv=None):
     if mismatches:
         raise SystemExit("TPU/CPU byte mismatch — do not commit")
 
+    ran_dirs = {j[0] for j in _select_jobs(args.only)}
+    if "long_samples_r3" not in ran_dirs:
+        return
     prov = os.path.join(ART, "long_samples_r3", "PROVENANCE.json")
     with open(prov) as f:
         meta = json.load(f)
