@@ -99,14 +99,48 @@ def write_wav(path, signal, sr=SAMPLE_RATE):
         w.writeframes(pcm.tobytes())
 
 
+def _event_replay_frames(pattern, step):
+    """(frame, pitch) of every same-instant NoteOff+NoteOn re-strike.
+
+    Generated .mid files carry re-articulations as same-instant off+on
+    pairs on the frame grid — exactly where midi_decode's pinned
+    reference quirk suppresses replay detection (codec.py module doc).
+    A decode-only render would therefore sustain through every re-strike
+    the model composed; this recovers them at the event level.  For real
+    corpora (re-strikes inside frames) the decode already detects them,
+    and the union below is idempotent."""
+    out = []
+    for track in pattern:
+        tick = 0
+        offs = set()        # pitches NoteOff'd at the current instant
+        for ev in track:
+            if ev.tick > 0:
+                offs.clear()
+            tick += ev.tick
+            name = type(ev).__name__
+            is_off = name == "NoteOffEvent" or (
+                name == "NoteOnEvent" and ev.velocity == 0)
+            if is_off:
+                offs.add(ev.pitch)
+            elif name == "NoteOnEvent":
+                if ev.pitch in offs:
+                    out.append((tick // step, ev.pitch))
+                offs.discard(ev.pitch)
+    return out
+
+
 def render_file(mid_path, wav_path=None):
     from music_generator_tpu.config import default_config
     from music_generator_tpu.midi.codec import midi_decode
     from music_generator_tpu.midi.io import read_midifile
 
     cfg = default_config()
-    roll = midi_decode(read_midifile(mid_path), cfg.midi_max_notes,
-                       config=cfg)
+    pattern = read_midifile(mid_path)
+    roll = midi_decode(pattern, cfg.midi_max_notes, config=cfg)
+    step = max(1, pattern.resolution // cfg.notes_per_beat)
+    for frame, pitch in _event_replay_frames(pattern, step):
+        if frame < len(roll) and roll[frame, pitch, 0] > 0:
+            roll[frame, pitch, 1] = 1.0
     wav_path = wav_path or os.path.splitext(mid_path)[0] + ".wav"
     write_wav(wav_path, render_roll(roll))
     print("rendered", wav_path)
@@ -115,6 +149,7 @@ def render_file(mid_path, wav_path=None):
 
 ARTIFACT_SETS = (
     "artifacts/long_samples_r3/*.mid",
+    "artifacts/long_samples_r4/*.mid",
     "artifacts/short_samples_r2/*.mid",
     "artifacts/real_corpus_r3/*.mid",
     "artifacts/primed_demos_r4/*.mid",
