@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SEEDS = (0, 1, 2, 3, 4, 5, 6, 7)
 TRAINED_PARAMS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "artifacts", "trained_model_r3", "params.npz")
+    "artifacts", "trained_model_r4", "params.npz")
 
 
 def _params_to_npz(params, path):
@@ -167,7 +167,7 @@ def main(argv=None):
     parser.add_argument("--params", default=TRAINED_PARAMS,
                         help="params .npz to certify (default: the "
                              "committed trained checkpoint, "
-                             "artifacts/trained_model_r3/params.npz); a "
+                             "artifacts/trained_model_r4/params.npz); a "
                              "pre-seeded <out>/params.npz always wins")
     parser.add_argument("--random-init", action="store_true",
                         help="certify fresh random-init params instead of "
