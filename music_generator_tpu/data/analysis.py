@@ -64,6 +64,41 @@ def velocity_stats(roll: np.ndarray) -> Dict[str, float]:
     return {"mean": float(vols.mean()), "std": float(vols.std())}
 
 
+def event_replays(pattern, step: Optional[int] = None,
+                  config: Optional[Config] = None):
+    """(frame, pitch) of every same-instant NoteOff+NoteOn re-strike in a
+    parsed MIDI pattern.
+
+    Re-articulations written by `midi_encode` land as same-instant off+on
+    pairs on the frame grid — exactly where `midi_decode`'s pinned
+    reference quirk suppresses replay detection (codec.py module doc), so
+    the decoded replay channel of any encoder-written file reads 0.  This
+    recovers them at the event level; used by the audio renderer and the
+    replay evidence in docs/TRAINING.md.  `step` = ticks per roll row
+    (defaults to the decoder's resolution-derived value)."""
+    if step is None:
+        cfg = config or default_config()
+        step = max(1, pattern.resolution // cfg.notes_per_beat)
+    out = []
+    for track in pattern:
+        tick = 0
+        offs = set()        # pitches NoteOff'd at the current instant
+        for ev in track:
+            if ev.tick > 0:
+                offs.clear()
+            tick += ev.tick
+            name = type(ev).__name__
+            is_off = name == "NoteOffEvent" or (
+                name == "NoteOnEvent" and ev.velocity == 0)
+            if is_off:
+                offs.add(ev.pitch)
+            elif name == "NoteOnEvent":
+                if ev.pitch in offs:
+                    out.append((tick // step, ev.pitch))
+                offs.discard(ev.pitch)
+    return out
+
+
 def piece_metrics(roll: np.ndarray, max_lag: int = 64) -> Dict:
     """The per-piece quality fingerprint used by
     tools/compare_published.py: note density, polyphony, velocity

@@ -75,3 +75,24 @@ def test_piece_metrics_replay_rate():
     assert m["notes"] == 8
     assert m["replay_rate"] == 1.0 / 8
     assert piece_metrics(np.zeros((4, 128, 3)))["replay_rate"] == 0.0
+
+
+def test_event_replays_recovers_encoder_written_re_strikes():
+    """midi_encode writes re-articulations as same-instant off+on pairs on
+    the frame grid, where midi_decode's pinned quirk suppresses them — so
+    the decoded replay channel of an encoder round-trip reads 0 and
+    event_replays is the only way to see them (render_audio and the replay
+    evidence in docs/TRAINING.md rely on this)."""
+    from music_generator_tpu.data.analysis import event_replays
+
+    roll = np.zeros((8, 2, 3))
+    roll[:, 0, 0] = 1.0               # pitch 0 held throughout
+    roll[:, 0, 2] = 0.5
+    roll[4, 0, 1] = 1.0               # ...with a re-strike at t=4
+    roll[4:, 1, 0] = 1.0              # pitch 1 onsets at t=4 so the row's
+    roll[4:, 1, 2] = 0.5              # play vector changes (the encoder
+    # drops replays on unchanged rows — test_codec pins that quirk)
+    pattern = midi.midi_encode(roll, step=1)
+    decoded = midi.midi_decode(pattern, classes=2, step=1)
+    assert decoded[..., 1].sum() == 0          # the quirk erases it
+    assert event_replays(pattern, step=1) == [(4, 0)]   # this recovers it

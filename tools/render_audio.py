@@ -99,46 +99,22 @@ def write_wav(path, signal, sr=SAMPLE_RATE):
         w.writeframes(pcm.tobytes())
 
 
-def _event_replay_frames(pattern, step):
-    """(frame, pitch) of every same-instant NoteOff+NoteOn re-strike.
-
-    Generated .mid files carry re-articulations as same-instant off+on
-    pairs on the frame grid — exactly where midi_decode's pinned
-    reference quirk suppresses replay detection (codec.py module doc).
-    A decode-only render would therefore sustain through every re-strike
-    the model composed; this recovers them at the event level.  For real
-    corpora (re-strikes inside frames) the decode already detects them,
-    and the union below is idempotent."""
-    out = []
-    for track in pattern:
-        tick = 0
-        offs = set()        # pitches NoteOff'd at the current instant
-        for ev in track:
-            if ev.tick > 0:
-                offs.clear()
-            tick += ev.tick
-            name = type(ev).__name__
-            is_off = name == "NoteOffEvent" or (
-                name == "NoteOnEvent" and ev.velocity == 0)
-            if is_off:
-                offs.add(ev.pitch)
-            elif name == "NoteOnEvent":
-                if ev.pitch in offs:
-                    out.append((tick // step, ev.pitch))
-                offs.discard(ev.pitch)
-    return out
-
-
 def render_file(mid_path, wav_path=None):
+    """Decode + synthesize one .mid.  Re-strikes the decode suppresses
+    (generated files carry them as frame-grid off+on pairs, where the
+    decoder's pinned quirk drops them) are recovered at the event level
+    via `analysis.event_replays` and unioned into the replay channel;
+    for real corpora the decode already detects them and the union is
+    idempotent."""
     from music_generator_tpu.config import default_config
+    from music_generator_tpu.data.analysis import event_replays
     from music_generator_tpu.midi.codec import midi_decode
     from music_generator_tpu.midi.io import read_midifile
 
     cfg = default_config()
     pattern = read_midifile(mid_path)
     roll = midi_decode(pattern, cfg.midi_max_notes, config=cfg)
-    step = max(1, pattern.resolution // cfg.notes_per_beat)
-    for frame, pitch in _event_replay_frames(pattern, step):
+    for frame, pitch in event_replays(pattern, config=cfg):
         if frame < len(roll) and roll[frame, pitch, 0] > 0:
             roll[frame, pitch, 1] = 1.0
     wav_path = wav_path or os.path.splitext(mid_path)[0] + ".wav"
