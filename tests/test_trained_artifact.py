@@ -214,3 +214,31 @@ def test_r4_checkpoint_is_style_faithful_and_replays(flagship):
     params_r3 = _load_npz(model, os.path.join(ART, "params.npz"))
     res_r3 = Sampler(model, params_r3).generate(mixtures, num_bars=8, seed=1)
     assert float(np.asarray(res_r3.notes)[..., 1].sum()) == 0.0
+
+
+@pytest.mark.slow
+def test_r4_short_samples_regenerate_from_the_committed_h5(flagship,
+                                                           tmp_path):
+    """artifacts/short_samples_r4/ were generated on the TPU chip through
+    the UNMODIFIED stock CLI from the committed Keras-layout h5
+    (PROVENANCE.json — the README quickstart, literally).  The same
+    sampling from the h5-loaded weights on CPU reproduces every byte:
+    the reference-migration path (model.h5) carries the full fidelity
+    contract."""
+    pytest.importorskip("h5py")
+    from music_generator_tpu.training.keras_import import load_keras_weights
+    cfg, model = flagship
+    art = os.path.join(os.path.dirname(ART), "short_samples_r4")
+    params = load_keras_weights(os.path.join(ART_R4, "model.h5"), cfg)
+    sampler = Sampler(model, params)
+    styles = [compute_genre(g, cfg) for g in range(3)]
+    for seed in (0, 1):
+        res = sampler.generate(styles, num_bars=8, seed=seed)
+        for i in range(3):
+            out = tmp_path / f"regen_{seed}_{i}.mid"
+            write_midifile(str(out),
+                           midi_encode(unclamp_midi(np.asarray(res.notes[i]),
+                                                    cfg), config=cfg))
+            published = os.path.join(art, f"short_s{seed}_{i}.mid")
+            assert out.read_bytes() == open(published, "rb").read(), \
+                f"short_s{seed}_{i}.mid does not regenerate byte-identically"
