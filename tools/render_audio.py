@@ -127,6 +127,7 @@ ARTIFACT_SETS = (
     "artifacts/long_samples_r3/*.mid",
     "artifacts/long_samples_r4/*.mid",
     "artifacts/short_samples_r2/*.mid",
+    "artifacts/short_samples_r4/*.mid",
     "artifacts/real_corpus_r3/*.mid",
     "artifacts/primed_demos_r4/*.mid",
 )
