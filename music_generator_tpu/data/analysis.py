@@ -75,14 +75,29 @@ def event_replays(pattern, step: Optional[int] = None,
     the decoded replay channel of any encoder-written file reads 0.  This
     recovers them at the event level; used by the audio renderer and the
     replay evidence in docs/TRAINING.md.  `step` = ticks per roll row
-    (defaults to the decoder's resolution-derived value)."""
+    (defaults to the decoder's resolution-derived value, with the same
+    sub-beat-resolution rejection as `midi_decode`).
+
+    A re-strike requires the pitch to have been SOUNDING when the
+    same-instant NoteOff arrived — a defensive NoteOff on a silent pitch
+    (a common sequencer export pattern) followed by its NoteOn is a plain
+    onset, not a re-articulation (mirrors the decoder's
+    `vol_prev > 0` condition)."""
     if step is None:
         cfg = config or default_config()
-        step = max(1, pattern.resolution // cfg.notes_per_beat)
+        step = pattern.resolution // cfg.notes_per_beat
+        if step <= 0:
+            # Same boundary contract as midi_decode: frame indices on a
+            # grid no decodable roll uses would silently mislead callers
+            # that pair the two (render_audio does).
+            raise ValueError(
+                f"unsupported MIDI resolution {pattern.resolution} "
+                f"(needs >= {cfg.notes_per_beat} ticks/beat)")
     out = []
     for track in pattern:
         tick = 0
-        offs = set()        # pitches NoteOff'd at the current instant
+        offs = set()        # sounding pitches NoteOff'd at this instant
+        sounding = set()    # pitches currently held
         for ev in track:
             if ev.tick > 0:
                 offs.clear()
@@ -91,11 +106,14 @@ def event_replays(pattern, step: Optional[int] = None,
             is_off = name == "NoteOffEvent" or (
                 name == "NoteOnEvent" and ev.velocity == 0)
             if is_off:
-                offs.add(ev.pitch)
+                if ev.pitch in sounding:
+                    offs.add(ev.pitch)
+                sounding.discard(ev.pitch)
             elif name == "NoteOnEvent":
                 if ev.pitch in offs:
                     out.append((tick // step, ev.pitch))
                 offs.discard(ev.pitch)
+                sounding.add(ev.pitch)
     return out
 
 
@@ -112,8 +130,9 @@ def piece_metrics(roll: np.ndarray, max_lag: int = 64) -> Dict:
         "notes": sounding,
         "note_density": float(sounding / max(1, len(roll))),
         # Re-articulations per sounding cell — the replay head's footprint
-        # in the music (published pieces re-strike held notes; a model
-        # whose replay head never fires scores 0 here).
+        # in the music.  (The reference's own published pieces almost
+        # never re-strike — 1 in 7,631 onsets, docs/TRAINING.md — so 0
+        # here matches DeepJ v1; real corpora score 0.04-0.06.)
         "replay_rate": float(roll[:, :, 1].sum() / max(1, sounding)),
         "polyphony": polyphony(roll),
         "velocity": velocity_stats(roll),

@@ -63,8 +63,9 @@ def test_analyze_corpus_end_to_end(tmp_path, monkeypatch):
 
 def test_piece_metrics_replay_rate():
     """replay_rate = re-articulation events per sounding cell: the replay
-    head's footprint in the music (published pieces re-strike held notes;
-    a model whose replay head never fires scores exactly 0)."""
+    head's footprint in the music (a model whose replay head never fires
+    scores exactly 0 — as DeepJ v1's published pieces nearly do:
+    1 re-strike in 7,631 onsets, docs/TRAINING.md)."""
     from music_generator_tpu.data.analysis import piece_metrics
 
     roll = np.zeros((8, 128, 3))
@@ -96,3 +97,35 @@ def test_event_replays_recovers_encoder_written_re_strikes():
     decoded = midi.midi_decode(pattern, classes=2, step=1)
     assert decoded[..., 1].sum() == 0          # the quirk erases it
     assert event_replays(pattern, step=1) == [(4, 0)]   # this recovers it
+
+
+def test_event_replays_requires_a_sounding_note():
+    """A defensive NoteOff on a SILENT pitch followed by its NoteOn at the
+    same instant (a common sequencer export pattern) is a plain onset, not
+    a re-strike — event_replays mirrors the decoder's vol_prev > 0
+    condition, so the renderer's union can't corrupt such files."""
+    import pytest
+
+    from music_generator_tpu.data.analysis import event_replays
+    from music_generator_tpu.midi.events import (
+        EndOfTrackEvent,
+        NoteOffEvent,
+        NoteOnEvent,
+    )
+    from music_generator_tpu.midi.io import Pattern, Track
+
+    defensive = Track([NoteOffEvent(tick=0, pitch=60, velocity=0),
+                       NoteOnEvent(tick=0, pitch=60, velocity=80),
+                       EndOfTrackEvent(tick=4)])
+    assert event_replays(Pattern([defensive], resolution=4)) == []
+
+    genuine = Track([NoteOnEvent(tick=0, pitch=60, velocity=80),
+                     NoteOffEvent(tick=4, pitch=60, velocity=0),
+                     NoteOnEvent(tick=0, pitch=60, velocity=80),
+                     EndOfTrackEvent(tick=4)])
+    assert event_replays(Pattern([genuine], resolution=4)) == [(4, 60)]
+
+    # Same boundary contract as midi_decode: a sub-beat resolution is
+    # rejected, not silently scanned on a grid no decodable roll uses.
+    with pytest.raises(ValueError, match="unsupported MIDI resolution"):
+        event_replays(Pattern([genuine], resolution=2))

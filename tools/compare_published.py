@@ -71,6 +71,7 @@ def main(argv=None):
 
     from music_generator_tpu.config import default_config
     from music_generator_tpu.data.analysis import (
+        event_replays,
         piece_metrics,
         profile_intersection,
     )
@@ -90,8 +91,19 @@ def main(argv=None):
         assert len(files) == 3, files
         published[genre] = []
         for f in files:
-            roll = midi_decode(read_midifile(f), cfg.midi_max_notes,
-                               config=cfg)
+            pattern = read_midifile(f)
+            roll = midi_decode(pattern, cfg.midi_max_notes, config=cfg)
+            # The published files ship at resolution 4 → step 1, the grid
+            # where the decoder's pinned reference quirk suppresses ALL
+            # replay detection — so the decoded replay channel is zero by
+            # construction, not by musical content.  Recover re-strikes
+            # at the event level (the same union render_audio.py applies)
+            # so the published replay_rate column measures the music, not
+            # the quirk.  (Measured: exactly 1 re-strike across all nine
+            # pieces — docs/TRAINING.md's zero-replay finding survives.)
+            for frame, pitch in event_replays(pattern, config=cfg):
+                if frame < len(roll) and roll[frame, pitch, 0] > 0:
+                    roll[frame, pitch, 1] = 1.0
             m = piece_metrics(roll)
             m["file"] = os.path.basename(f)
             published[genre].append(m)

@@ -51,7 +51,14 @@ def _select_jobs(only):
     lets a new entry regenerate + verify without re-running all of it."""
     if not only:
         return JOBS
-    return [j for j in JOBS if only in j[0] or only in j[2]]
+    jobs = [j for j in JOBS if only in j[0] or only in j[2]]
+    if not jobs:
+        # A typo'd filter must not byte-verify 0 files and exit 0 — the
+        # operator would believe the artifact regenerated and verified.
+        raise SystemExit(
+            f"--only {only!r} matches no jobs; known: "
+            + ", ".join(sorted({j[0] for j in JOBS})))
+    return jobs
 
 
 def run_jobs(dest_root: str, only: str = "") -> None:

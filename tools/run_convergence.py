@@ -103,16 +103,14 @@ def main(argv=None):
     for i, style_id in enumerate(args.styles):
         gen = result.notes[i]
         h_gen = pitch_class_histogram(gen)
-        h_own = pitch_class_histogram(
-            synth_piece(style_id, bars=args.bars, seed=0,
-                        config=cfg)[:, cfg.min_note:cfg.max_note])
+        corpus_roll = synth_piece(style_id, bars=args.bars, seed=0,
+                                  config=cfg)[:, cfg.min_note:cfg.max_note]
+        h_own = pitch_class_histogram(corpus_roll)
         others = [
             float(np.minimum(h_gen, pitch_class_histogram(
                 synth_piece(s, bars=args.bars, seed=0,
                             config=cfg)[:, cfg.min_note:cfg.max_note])).sum())
             for s in args.styles if s != style_id]
-        corpus_roll = synth_piece(style_id, bars=args.bars, seed=0,
-                                  config=cfg)[:, cfg.min_note:cfg.max_note]
         fidelity.append({
             "style": style_id,
             "notes": int(gen[..., 0].sum()),
