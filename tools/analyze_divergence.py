@@ -22,6 +22,16 @@ def main(argv=None):
     parser.add_argument("b")
     parser.add_argument("--params", default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--style", default="0",
+                        help="style of the analyzed stream: an int "
+                             "(one-hot composer) or genre:N (uniform "
+                             "genre mixture) — check_fidelity's "
+                             "genres_<seed>_<i>.mid files use genre:<i>")
+    parser.add_argument("--stream-offset", type=int, default=0,
+                        help="the stream's GLOBAL index (deviation #10): "
+                             "stream i of a batched run draws "
+                             "fold_in(seed, i) uniforms — pass i when "
+                             "analyzing file _<seed>_<i> of a batch")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -64,17 +74,24 @@ def main(argv=None):
     from music_generator_tpu.utils import one_hot
     from tools.check_fidelity import _params_from_npz
 
+    from music_generator_tpu.data.dataset import compute_genre
+
     model = DeepJ(cfg.replace(lstm_kernel="xla",
                               compute_dtype=cfg.gen_dtype))
     params = _params_from_npz(model, args.params)
     sampler = Sampler(model, params)
-    style = jnp.asarray(np.stack([one_hot(0, cfg.num_styles)]), jnp.float32)
+    if args.style.startswith("genre:"):
+        style_vec = compute_genre(int(args.style.split(":", 1)[1]), cfg)
+    else:
+        style_vec = one_hot(int(args.style), cfg.num_styles)
+    style = jnp.asarray(np.stack([style_vec]), jnp.float32)
     with jax.default_matmul_precision(cfg.gen_matmul_precision):
         style_emb = model.style_embedding(params, style)
 
         notes = clamp_midi(ra, cfg)          # [T, 48, 3] — file A's piece
         n_clamped = int(pitch) - cfg.min_note
-        state = sampler._init_state(1, jnp.uint32(args.seed), 1.0)
+        state = sampler._init_state(1, jnp.uint32(args.seed), 1.0,
+                                    args.stream_offset)
         for t in range(int(t0) + 1):
             beat = (jax.nn.one_hot((t - 1) % cfg.notes_per_bar,
                                    cfg.notes_per_bar) * (t > 0))[None]
@@ -95,15 +112,24 @@ def main(argv=None):
                     if n == n_clamped:
                         if int(ch) == 2:
                             # Volume byte flip: distance of the raw head
-                            # output to the encoder's int(vol*127) boundary.
+                            # output to the decision boundary between the
+                            # two observed bytes.  Raw copy-through
+                            # decides at the int(vol*127) TRUNCATION
+                            # boundary; gen_volume_quantize decides at
+                            # the round(vol*127) MIDPOINT — report both
+                            # so either mode's analysis is labeled right.
                             v = float(np.clip(float(pred[0, 2]), 0.0, 1.0))
-                            boundary = round(v * 127) / 127
+                            ka = int(round(float(ra[t0, pitch, 2]) * 127))
+                            kb = int(round(float(rb[t0, pitch, 2]) * 127))
+                            trunc = max(ka, kb) / 127
+                            mid = (ka + kb) / 2 / 127
                             print(f"at the flip: raw volume head={v:.9f}, "
-                                  f"nearest velocity boundary="
-                                  f"{boundary:.9f}, distance="
-                                  f"{abs(v - boundary):.3e} "
+                                  f"bytes {ka} vs {kb}; distance to "
+                                  f"truncation boundary {trunc:.9f}: "
+                                  f"{abs(v - trunc):.3e}; to rounding "
+                                  f"midpoint {mid:.9f}: {abs(v - mid):.3e} "
                                   f"(ULP-scale drift across backends "
-                                  f"rounds this byte differently)")
+                                  f"lands this byte differently)")
                         else:
                             u = float(us[0, n, int(ch)])
                             p = float(probs[0, int(ch)])
