@@ -36,3 +36,13 @@ def test_dryrun_multichip_non_dividing_device_count():
     # 6 devices don't divide 8: the batch must round to a 6-multiple (12)
     # instead of failing the P("data") sharding.
     graft.dryrun_multichip(6, bars_per_seq=1)
+
+
+def test_import_raises_cpu_collective_watchdog():
+    """Importing the driver module must lift XLA:CPU's 40-second
+    collective-rendezvous kill switch BEFORE backend init: the full
+    B=16 x T=128 dryrun geometry legitimately exceeds it on small hosts
+    (a partition stuck timesharing one core was killed mid-AllGather)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    assert "--xla_cpu_collective_call_terminate_timeout_seconds" in flags
+    assert "--xla_cpu_collective_call_warn_stuck_timeout_seconds" in flags
