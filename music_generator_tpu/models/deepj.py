@@ -116,7 +116,14 @@ def feature_dim(cfg: Config) -> int:
 
 
 def init_params(key: jax.Array, cfg: Config) -> Params:
-    keys = iter(jax.random.split(key, 16))
+    # 2 keys per axis layer + 4 for embedding/conv/heads.  split() is
+    # prefix-stable in key count, so max(16, ...) keeps every value
+    # byte-identical to the historical 16-key split for the default 2+2
+    # config (committed checkpoints / pinned artifacts) while deeper
+    # stacks (the config allows up to 8 per axis) no longer exhaust the
+    # iterator.
+    n_keys = 2 * (cfg.time_axis_layers + cfg.note_axis_layers) + 4
+    keys = iter(jax.random.split(key, max(16, n_keys)))
     f = feature_dim(cfg)
 
     time_layers = []
@@ -277,8 +284,11 @@ class DeepJ:
         cfg = self.cfg
         l0, l1 = layers
         dt = self._dt()
-        p = cfg.dropout if train else 0.0
-        if train and rng is not None:
+        # train=True with no rng means NO dropout (matching dropout() and
+        # the v3 path) — a frozen seed-0 mask would silently zero the same
+        # activations every step.
+        p = cfg.dropout if (train and rng is not None) else 0.0
+        if p > 0.0:
             seed = jax.random.randint(_sub(rng, site), (), 0, 2**31 - 1)
         else:
             seed = 0

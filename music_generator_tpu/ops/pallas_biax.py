@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from music_generator_tpu.ops.pallas_lstm import _gate_slices, _sigmoid
+from music_generator_tpu.ops.pallas_lstm2 import _cell_bwd
 
 
 # ---------------------------------------------------------------------------
@@ -146,24 +147,6 @@ def _cell_recompute(z_in, h_prev, c_prev_f32, u_ref, cdt, hidden):
     return i, f, g, o, tanh_c
 
 
-def _cell_bwd(i, f, g, o, c_prev, tanh_c, dh, dc_carry, u_ref, cdt):
-    i32, f32_, g32, o32 = (i.astype(jnp.float32), f.astype(jnp.float32),
-                           g.astype(jnp.float32), o.astype(jnp.float32))
-    do = dh * tanh_c
-    dc = dc_carry + dh * o32 * (1.0 - tanh_c * tanh_c)
-    di = dc * g32
-    df = dc * c_prev
-    dg = dc * i32
-    dz = jnp.concatenate([
-        di * i32 * (1.0 - i32),
-        df * f32_ * (1.0 - f32_),
-        dg * (1.0 - g32 * g32),
-        do * o32 * (1.0 - o32),
-    ], axis=-1).astype(cdt)
-    dh_prev = jnp.dot(dz, u_ref[:].T, preferred_element_type=jnp.float32)
-    return dz, dc * f32_, dh_prev
-
-
 def _bcast_rows(block, k: int, B: int, F: int):
     """[B, F] or [k·B?, F]-shaped style block → (k·B, F) rows (repeat each
     B-row group k times: rows are (a, b) with b fastest)."""
@@ -176,7 +159,8 @@ def _bcast_rows(block, k: int, B: int, F: int):
 # s1 [T, B, H] → hs1 [T, N, B, H]
 # ---------------------------------------------------------------------------
 
-def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
+def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
+                     tapes: bool = True):
     def kern(seed_ref, x_ref, s0_ref, s1_ref, w0_ref, b0_ref, b1_ref,
              u0_ref, w1_ref, u1_ref,
              *refs):
@@ -184,9 +168,16 @@ def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
             (hs0_ref, cs0_ref, hs1_ref, cs1_ref,
              m0_ref, m1_ref, mmid_ref,
              h0_s, c0_s, h1_s, c1_s) = refs
-        else:
+        elif tapes:
             (hs0_ref, cs0_ref, hs1_ref, cs1_ref,
              h0_s, c0_s, h1_s, c1_s) = refs
+        else:
+            # Primal-only (eval) variant: no backward-residual tapes —
+            # XLA cannot dead-code-eliminate pallas_call outputs, so an
+            # undifferentiated call would otherwise stream 3·T·N·B·H of
+            # useless HBM writes.
+            (hs1_ref, h0_s, c0_s, h1_s, c1_s) = refs
+            hs0_ref = cs0_ref = cs1_ref = None
         j = pl.program_id(0)
         t = pl.program_id(1)
         cdt = x_ref.dtype
@@ -210,8 +201,9 @@ def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b0_ref[:].astype(cdt))
         h0_new, c0_new = _cell_fwd(xw0, h0_s[:], c0_s[:], u0_ref, cdt, hidden)
-        cs0_ref[0] = c0_s[:].astype(cdt).reshape(k, B, hidden)
-        hs0_ref[0] = h0_new.astype(cdt).reshape(k, B, hidden)
+        if hs0_ref is not None:
+            cs0_ref[0] = c0_s[:].astype(cdt).reshape(k, B, hidden)
+            hs0_ref[0] = h0_new.astype(cdt).reshape(k, B, hidden)
 
         x1 = h0_new.astype(cdt)
         mmid = _mask(seed_ref, S_MID, j, t, x1.shape, keep_prob, cdt)
@@ -225,7 +217,8 @@ def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b1_ref[:].astype(cdt))
         h1_new, c1_new = _cell_fwd(xw1, h1_s[:], c1_s[:], u1_ref, cdt, hidden)
-        cs1_ref[0] = c1_s[:].astype(cdt).reshape(k, B, hidden)
+        if cs1_ref is not None:
+            cs1_ref[0] = c1_s[:].astype(cdt).reshape(k, B, hidden)
         hs1_ref[0] = h1_new.astype(cdt).reshape(k, B, hidden)
 
         if dump:
@@ -360,7 +353,7 @@ def _time_bwd_kernel(keep_prob: float, k: int, B: int):
 
 
 def _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob,
-                   compute_dtype, dump=False):
+                   compute_dtype, dump=False, tapes=True):
     T, N, B, F = x.shape
     H4 = u0.shape[1]
     H = H4 // 4
@@ -370,8 +363,11 @@ def _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob,
 
     tape = lambda: pl.BlockSpec((1, k, B, H), lambda j, t: (t, j, 0, 0),
                                 memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((T, N, B, H), cdt) for _ in range(4)]
-    out_specs = [tape() for _ in range(4)]
+    # Full outputs: (hs0, cs0, hs1, cs1); primal-only (tapes=False): (hs1,).
+    n_out = 4 if (tapes or dump) else 1
+    out_shapes = [jax.ShapeDtypeStruct((T, N, B, H), cdt)
+                  for _ in range(n_out)]
+    out_specs = [tape() for _ in range(n_out)]
     if dump:
         out_shapes += [jax.ShapeDtypeStruct((T, N, B, F), cdt),
                        jax.ShapeDtypeStruct((T, N, B, H), cdt),
@@ -381,7 +377,7 @@ def _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob,
                       tape(), tape()]
 
     outs = pl.pallas_call(
-        _time_fwd_kernel(keep_prob, k, B, dump),
+        _time_fwd_kernel(keep_prob, k, B, dump, tapes),
         grid=(NJ, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
@@ -531,9 +527,10 @@ def _make_time_stack(dtype_name: str, keep_prob: float):
 
     @jax.custom_vjp
     def stack(x, s0, s1, w0, b0, b1, u0, w1, u1, seed):
+        # Primal-only (eval) call: skip the backward-residual tapes.
         outs = _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed,
-                              keep_prob, cdt)
-        return outs[2]                                    # hs1
+                              keep_prob, cdt, tapes=False)
+        return outs[0]                                    # hs1
 
     def fwd_rule(x, s0, s1, w0, b0, b1, u0, w1, u1, seed):
         hs0, cs0, hs1, cs1 = _time_fwd_impl(
@@ -599,7 +596,8 @@ def time_stack_dump_masks(x, s0, s1, w0, b0, b1, u0, w1, u1,
 S_STYLE0C = 5   # style-0 mask stream over the chosen-feature columns
 
 
-def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
+def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
+                     tapes: bool = True):
     def kern(seed_ref, ht_ref, ch_ref, s0t_ref, s0c_ref, s1_ref,
              w0t_ref, w0c_ref, b0_ref, b1_ref, u0_ref, w1_ref, u1_ref,
              wh_ref, bh_ref,
@@ -608,9 +606,14 @@ def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
             (out_ref, hs0_ref, cs0_ref, hs1_ref, cs1_ref,
              min_ref, m0t_ref, m0c_ref, m1_ref, mmid_ref, mout_ref,
              h0_s, c0_s, h1_s, c1_s) = refs
-        else:
+        elif tapes:
             (out_ref, hs0_ref, cs0_ref, hs1_ref, cs1_ref,
              h0_s, c0_s, h1_s, c1_s) = refs
+        else:
+            # Primal-only (eval) variant: no backward-residual tapes (see
+            # _time_fwd_kernel — 4·N·T·B·H of HBM writes otherwise).
+            (out_ref, h0_s, c0_s, h1_s, c1_s) = refs
+            hs0_ref = cs0_ref = hs1_ref = cs1_ref = None
         j = pl.program_id(0)
         n = pl.program_id(1)
         cdt = ht_ref.dtype
@@ -646,8 +649,9 @@ def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
                          preferred_element_type=jnp.float32)).astype(cdt)
         xw0 = xw0 + b0_ref[:].astype(cdt)
         h0_new, c0_new = _cell_fwd(xw0, h0_s[:], c0_s[:], u0_ref, cdt, hidden)
-        cs0_ref[0] = c0_s[:].astype(cdt).reshape(k, B, hidden)
-        hs0_ref[0] = h0_new.astype(cdt).reshape(k, B, hidden)
+        if hs0_ref is not None:
+            cs0_ref[0] = c0_s[:].astype(cdt).reshape(k, B, hidden)
+            hs0_ref[0] = h0_new.astype(cdt).reshape(k, B, hidden)
 
         x1 = h0_new.astype(cdt)
         mmid = _mask(seed_ref, S_MID, j, n, x1.shape, keep_prob, cdt)
@@ -660,8 +664,9 @@ def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b1_ref[:].astype(cdt))
         h1_new, c1_new = _cell_fwd(xw1, h1_s[:], c1_s[:], u1_ref, cdt, hidden)
-        cs1_ref[0] = c1_s[:].astype(cdt).reshape(k, B, hidden)
-        hs1_ref[0] = h1_new.astype(cdt).reshape(k, B, hidden)
+        if hs1_ref is not None:
+            cs1_ref[0] = c1_s[:].astype(cdt).reshape(k, B, hidden)
+            hs1_ref[0] = h1_new.astype(cdt).reshape(k, B, hidden)
 
         # Output dropout + fused heads: sigmoid(play, replay) ++ volume.
         h1d = h1_new.astype(cdt)
@@ -886,7 +891,8 @@ def _note_specs(T, N, B, Ht, C, H, H4, k, fwd: bool):
 
 
 def _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
-                   wh, bh, seed, keep_prob, compute_dtype, dump=False):
+                   wh, bh, seed, keep_prob, compute_dtype, dump=False,
+                   tapes=True):
     T, N, B, Ht = ht.shape
     C = ch.shape[-1]
     H4 = u0.shape[1]
@@ -896,10 +902,12 @@ def _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
     k, JT = _row_tiling(T, B)
 
     tape = lambda: _vm((1, k, B, H), lambda j, s: (s, j, 0, 0))
-    out_specs = [_vm((1, k, B, 3), lambda j, s: (s, j, 0, 0)),    # out
-                 tape(), tape(), tape(), tape()]
+    # Full outputs: out + (hs0, cs0, hs1, cs1); primal-only: out alone.
+    n_tapes = 4 if (tapes or dump) else 0
+    out_specs = ([_vm((1, k, B, 3), lambda j, s: (s, j, 0, 0))]   # out
+                 + [tape() for _ in range(n_tapes)])
     out_shapes = [jax.ShapeDtypeStruct((N, T, B, 3), f32)] + [
-        jax.ShapeDtypeStruct((N, T, B, H), cdt) for _ in range(4)]
+        jax.ShapeDtypeStruct((N, T, B, H), cdt) for _ in range(n_tapes)]
     if dump:
         dspec = lambda w: _vm((1, k, B, w), lambda j, s: (s, j, 0, 0))
         out_specs += [dspec(Ht), dspec(Ht), dspec(C), dspec(H), dspec(H),
@@ -912,7 +920,7 @@ def _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
                        jax.ShapeDtypeStruct((N, T, B, H), cdt)]
 
     outs = pl.pallas_call(
-        _note_fwd_kernel(keep_prob, k, B, dump),
+        _note_fwd_kernel(keep_prob, k, B, dump, tapes),
         grid=(JT, N),
         in_specs=_note_specs(T, N, B, Ht, C, H, H4, k, fwd=True),
         out_specs=out_specs,
@@ -1030,8 +1038,10 @@ def _make_note_stack(dtype_name: str, keep_prob: float):
     @jax.custom_vjp
     def stack(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1, wh, bh,
               seed):
+        # Primal-only (eval) call: skip the backward-residual tapes.
         outs = _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1,
-                              u0, w1, u1, wh, bh, seed, keep_prob, cdt)
+                              u0, w1, u1, wh, bh, seed, keep_prob, cdt,
+                              tapes=False)
         return outs[0]                                     # [N, T, B, 3]
 
     def fwd_rule(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1, wh, bh,

@@ -51,9 +51,9 @@ def _pick_batch_tile(B: int, max_tile: int = 256) -> int:
 
 
 def _tiling(B: int) -> Tuple[int, int]:
+    # _pick_batch_tile returns a divisor of B (or B itself), so BT | B
+    # always holds — the kernels rely on that invariant.
     BT = _pick_batch_tile(B)
-    if B % BT != 0:
-        return B, 1
     return BT, B // BT
 
 
@@ -71,38 +71,48 @@ def _gate_slices(z, hidden):
     return i, f, g, o
 
 
-def _fwd_kernel(xw_ref, u_ref, h0_ref, c0_ref,
-                hs_ref, cs_ref, hT_ref, cT_ref,
-                h_s, c_s):
+def _fwd_kernel(tape: bool = True):
     """Grid (NB, T): one batch tile × one timestep per invocation.  Scratch
-    h_s/c_s persist across the T-innermost iterations of a tile."""
-    t = pl.program_id(1)
-    T = pl.num_programs(1)
-    cdt = xw_ref.dtype
+    h_s/c_s persist across the T-innermost iterations of a tile.
+    tape=False is the primal-only (eval/streaming) variant — the c_{t-1}
+    backward-residual tape is neither allocated nor written (XLA cannot
+    dead-code-eliminate pallas_call outputs)."""
+    def kern(xw_ref, u_ref, h0_ref, c0_ref, *refs):
+        if tape:
+            hs_ref, cs_ref, hT_ref, cT_ref, h_s, c_s = refs
+        else:
+            hs_ref, hT_ref, cT_ref, h_s, c_s = refs
+        t = pl.program_id(1)
+        T = pl.num_programs(1)
+        cdt = xw_ref.dtype
 
-    @pl.when(t == 0)
-    def _():
-        h_s[:] = h0_ref[:]
-        c_s[:] = c0_ref[:]
+        @pl.when(t == 0)
+        def _():
+            h_s[:] = h0_ref[:]
+            c_s[:] = c0_ref[:]
 
-    hidden = u_ref.shape[0]
-    z = (xw_ref[0] + jnp.dot(h_s[:].astype(cdt), u_ref[:],
-                             preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gate_slices(z, hidden)
+        hidden = u_ref.shape[0]
+        z = (xw_ref[0]
+             + jnp.dot(h_s[:].astype(cdt), u_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt))
+        i, f, g, o = _gate_slices(z, hidden)
 
-    c_new = f.astype(jnp.float32) * c_s[:] + (i * g).astype(jnp.float32)
-    h_new = (o.astype(jnp.float32)
-             * jnp.tanh(c_new.astype(cdt)).astype(jnp.float32))
+        c_new = f.astype(jnp.float32) * c_s[:] + (i * g).astype(jnp.float32)
+        h_new = (o.astype(jnp.float32)
+                 * jnp.tanh(c_new.astype(cdt)).astype(jnp.float32))
 
-    cs_ref[0] = c_s[:].astype(cdt)       # c_{t-1} tape
-    hs_ref[0] = h_new.astype(cdt)
-    h_s[:] = h_new
-    c_s[:] = c_new
+        if tape:
+            cs_ref[0] = c_s[:].astype(cdt)       # c_{t-1} tape
+        hs_ref[0] = h_new.astype(cdt)
+        h_s[:] = h_new
+        c_s[:] = c_new
 
-    @pl.when(t == T - 1)
-    def _():
-        hT_ref[:] = h_new
-        cT_ref[:] = c_new
+        @pl.when(t == T - 1)
+        def _():
+            hT_ref[:] = h_new
+            cT_ref[:] = c_new
+
+    return kern
 
 
 def _bwd_kernel(u_ref, xw_ref, hs_prev_ref, cs_prev_ref, dhs_ref, dcT_ref,
@@ -175,15 +185,17 @@ def _bwd_kernel(u_ref, xw_ref, hs_prev_ref, cs_prev_ref, dhs_ref, dcT_ref,
         du_ref[:] = du_s[:]
 
 
-def _forward_impl(xw, u, h0, c0, compute_dtype):
+def _forward_impl(xw, u, h0, c0, compute_dtype, tape: bool = True):
     T, B, H4 = xw.shape
     H = H4 // 4
     f32 = jnp.float32
     cdt = compute_dtype
     BT, NB = _tiling(B)
 
-    hs, cs_prev, hT, cT = pl.pallas_call(
-        _fwd_kernel,
+    tape_spec = pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _fwd_kernel(tape),
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec((1, BT, H4), lambda b, t: (t, b, 0),
@@ -195,19 +207,14 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
             pl.BlockSpec((BT, H), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=([tape_spec] * (2 if tape else 1)) + [
             pl.BlockSpec((BT, H), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BT, H), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), cdt),   # h tape
-            jax.ShapeDtypeStruct((T, B, H), cdt),   # c_{t-1} tape
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), cdt)  # h tape [+ c tape]
+                   for _ in range(2 if tape else 1)] + [
             jax.ShapeDtypeStruct((B, H), f32),      # h_T
             jax.ShapeDtypeStruct((B, H), f32),      # c_T
         ],
@@ -222,6 +229,11 @@ def _forward_impl(xw, u, h0, c0, compute_dtype):
             transcendentals=5 * T * B * H4,
         ),
     )(xw.astype(cdt), u.astype(cdt), h0.astype(f32), c0.astype(f32))
+    if tape:
+        hs, cs_prev, hT, cT = outs
+    else:
+        hs, hT, cT = outs
+        cs_prev = None
     return hs, cs_prev, hT, cT
 
 
@@ -313,7 +325,9 @@ def _make_recurrence(dtype_name: str):
 
     @jax.custom_vjp
     def recurrence(xw, u, h0, c0):
-        hs, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
+        # Primal-only (eval/streaming) call: skip the c_{t-1} tape.
+        hs, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype,
+                                      tape=False)
         return hs, (hT, cT)
 
     def fwd_rule(xw, u, h0, c0):

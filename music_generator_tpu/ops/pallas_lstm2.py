@@ -44,9 +44,9 @@ def _stack_tiling(B: int, compute_dtype) -> Tuple[int, int]:
     must tile identically.  Sized for the backward's working set: 256 rows
     in bf16, 128 in f32."""
     max_tile = 256 if jnp.dtype(compute_dtype).itemsize <= 2 else 128
+    # _pick_batch_tile returns a divisor of B (or B itself), so BT | B
+    # always holds — forward and backward rely on identical tiling.
     BT = _pick_batch_tile(B, max_tile)
-    if B % BT != 0:
-        return B, 1
     return BT, B // BT
 
 
@@ -103,13 +103,23 @@ def _mask(seed, b, t, shape, keep_prob, dtype):
     return keep.astype(dtype) * jnp.asarray(1.0 / keep_prob, dtype)
 
 
-def _make_fwd_kernel(keep_prob: float):
+def _make_fwd_kernel(keep_prob: float, tapes: bool = True):
+    """tapes=False is the primal-only (eval/inference) variant: the three
+    backward-residual tapes (hs0, cs0, cs1) are neither allocated nor
+    written — XLA cannot dead-code-eliminate pallas_call outputs, so an
+    undifferentiated call would otherwise stream ~3·T·B·H of useless HBM
+    writes."""
     def kern(seed_ref, x0_ref, s1m_ref, w0_ref, b0_ref, b1_ref,
              u0_ref, w1_ref, u1_ref,
              h00_ref, c00_ref, h10_ref, c10_ref,
-             hs0_ref, cs0_ref, hs1_ref, cs1_ref,
+             *refs):
+        if tapes:
+            (hs0_ref, cs0_ref, hs1_ref, cs1_ref,
              h0T_ref, c0T_ref, h1T_ref, c1T_ref,
-             h0_s, c0_s, h1_s, c1_s):
+             h0_s, c0_s, h1_s, c1_s) = refs
+        else:
+            (hs1_ref, h0T_ref, c0T_ref, h1T_ref, c1T_ref,
+             h0_s, c0_s, h1_s, c1_s) = refs
         b = pl.program_id(0)
         t = pl.program_id(1)
         T = pl.num_programs(1)
@@ -128,8 +138,9 @@ def _make_fwd_kernel(keep_prob: float):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b0_ref[:].astype(cdt))
         h0_new, c0_new = _cell(xw0, h0_s, c0_s, u0_ref, cdt, hidden)
-        cs0_ref[0] = c0_s[:].astype(cdt)
-        hs0_ref[0] = h0_new.astype(cdt)
+        if tapes:
+            cs0_ref[0] = c0_s[:].astype(cdt)
+            hs0_ref[0] = h0_new.astype(cdt)
 
         # Inter-layer dropout + style term, then layer-1 projection.
         x1 = h0_new.astype(cdt)
@@ -143,7 +154,8 @@ def _make_fwd_kernel(keep_prob: float):
 
         # Layer 1.
         h1_new, c1_new = _cell(xw1, h1_s, c1_s, u1_ref, cdt, hidden)
-        cs1_ref[0] = c1_s[:].astype(cdt)
+        if tapes:
+            cs1_ref[0] = c1_s[:].astype(cdt)
         hs1_ref[0] = h1_new.astype(cdt)
 
         h0_s[:] = h0_new
@@ -279,7 +291,7 @@ def _state(BT, H):
 
 
 def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
-                  seed, keep_prob, compute_dtype):
+                  seed, keep_prob, compute_dtype, tapes: bool = True):
     T, B, F = x0.shape
     H4 = u0.shape[1]
     H = H4 // 4
@@ -288,8 +300,12 @@ def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
     BT, NB = _stack_tiling(B, cdt)
     bmap = lambda b, t: (t, b, 0)
 
+    tape_specs = ([_block(BT, H, bmap)] * 4 if tapes
+                  else [_block(BT, H, bmap)])
+    tape_shapes = ([jax.ShapeDtypeStruct((T, B, H), cdt)
+                    for _ in range(4 if tapes else 1)])
     outs = pl.pallas_call(
-        _make_fwd_kernel(keep_prob),
+        _make_fwd_kernel(keep_prob, tapes),
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,1)
@@ -304,17 +320,13 @@ def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
             _state(BT, H), _state(BT, H),
             _state(BT, H), _state(BT, H),
         ],
-        out_specs=[
-            _block(BT, H, bmap), _block(BT, H, bmap),
-            _block(BT, H, bmap), _block(BT, H, bmap),
+        out_specs=tape_specs + [
             _state(BT, H), _state(BT, H),
             _state(BT, H), _state(BT, H),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), cdt),      # hs0
-            jax.ShapeDtypeStruct((T, B, H), cdt),      # cs0 (c_{t-1})
-            jax.ShapeDtypeStruct((T, B, H), cdt),      # hs1
-            jax.ShapeDtypeStruct((T, B, H), cdt),      # cs1 (c_{t-1})
+        # tapes: hs0, cs0, hs1, cs1 (all c tapes store c_{t-1}); primal-only
+        # emits just hs1.  Then the four terminal states.
+        out_shape=tape_shapes + [
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
             jax.ShapeDtypeStruct((B, H), f32),
@@ -433,10 +445,10 @@ def _make_stack(dtype_name: str, keep_prob: float):
 
     @jax.custom_vjp
     def stack(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10, seed):
-        outs = _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1,
-                             h00, c00, h10, c10, seed, keep_prob,
-                             compute_dtype)
-        hs0, cs0, hs1, cs1, h0T, c0T, h1T, c1T = outs
+        # Primal-only (eval/streaming) call: skip the backward tapes.
+        hs1, h0T, c0T, h1T, c1T = _forward_impl(
+            x0, s1m, w0, b0, b1, u0, w1, u1,
+            h00, c00, h10, c10, seed, keep_prob, compute_dtype, tapes=False)
         return hs1, (h0T, c0T, h1T, c1T)
 
     def fwd_rule(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10, seed):

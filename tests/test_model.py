@@ -304,3 +304,37 @@ def test_param_summary_counts_every_leaf(params):
     assert f"{total:,}" in s.splitlines()[-1]
     assert s.splitlines()[-1].startswith("total")
     assert len(s.splitlines()) >= 3          # at least a couple of modules
+
+
+def test_fused_axis_train_without_rng_disables_dropout():
+    """train=True with rng=None must mean NO dropout on the fused-axis
+    path too: the pre-fix code passed p=cfg.dropout with a frozen seed 0
+    to pallas_lstm2, silently zeroing the SAME activations every step
+    while every other site (dropout() with key None) was a no-op."""
+    from jax.experimental.pallas import tpu as pltpu
+    from music_generator_tpu.config import test_config as sc
+    cfg = sc(lstm_kernel="pallas", fused_axis_kernel=True, dropout=0.5)
+    m = DeepJ(cfg)
+    p = init_params(jax.random.key(0), cfg)
+    notes, chosen, beat, style = _batch(jax.random.key(8), B=2, T=4)
+
+    with pltpu.force_tpu_interpret_mode():
+        eval_out = m.forward(p, notes, chosen, beat, style, train=False)
+        train_no_rng = m.forward(p, notes, chosen, beat, style, rng=None,
+                                 train=True)
+    np.testing.assert_allclose(np.asarray(train_no_rng),
+                               np.asarray(eval_out), atol=1e-6)
+
+
+def test_init_params_supports_deeper_stacks():
+    """The config allows up to 8 layers per axis (_SITE_IDS) and the
+    unfused scans handle any depth — init_params must not exhaust its key
+    iterator for >6 total layers (it drew from a fixed 16-key split).
+    split() is prefix-stable in key count, so the default 2+2 init stays
+    byte-identical (pinned by every golden/artifact test)."""
+    from music_generator_tpu.config import test_config as sc
+    cfg = sc(time_axis_layers=4, note_axis_layers=3)
+    p = init_params(jax.random.key(0), cfg)
+    assert len(p.time_axis) == 4 and len(p.note_axis) == 3
+    for leaf in jax.tree.leaves(p):
+        assert np.isfinite(np.asarray(leaf)).all()
