@@ -118,6 +118,15 @@ def _decode_track(track, classes: int, step: int):
     total_ticks = cur
     m = total_ticks // step          # in-loop frames (ref: midi_util.py:126)
     num_frames = m + 1               # + the tail frame (ref: midi_util.py:157-160)
+    if num_frames > 1 << 20:
+        # ~18 hours of music at the reference grid — far beyond any real
+        # piece.  Corrupted delta-ticks otherwise chain into a multi-GB
+        # np.zeros whose lazily-committed pages blow up only when touched;
+        # fail at the boundary instead (the native decoder enforces the
+        # same kMaxFrames bound; dataset.py's safe_load skips the file).
+        raise ValueError(
+            f"MIDI duration {num_frames} frames exceeds the 2^20 bound "
+            f"(corrupt delta-ticks?)")
 
     volume = np.zeros((num_frames, classes))
     replay = np.zeros((num_frames, classes))
@@ -292,6 +301,13 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
     # paths (the standard data/<genre>/<composer> layout) are unchanged.
     rel = os.path.splitdrive(fname)[1].lstrip(os.sep) \
         if os.path.isabs(fname) else fname
+    # normpath + stripping any leading '..' segments keeps the key under
+    # cache_dir for relative traversals too ("../data/x.mid" would
+    # otherwise resolve outside it — same littering failure mode).
+    rel = os.path.normpath(rel)
+    while rel.startswith(".." + os.sep) or rel == "..":
+        rel = rel[3:] if rel != ".." else ""
+    rel = rel.lstrip(os.sep) or "_root"
     cache_path = os.path.join(cfg.cache_dir, rel + ".npy")
     try:
         if os.path.getmtime(cache_path) <= os.path.getmtime(fname):

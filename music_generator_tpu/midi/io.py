@@ -36,7 +36,12 @@ from music_generator_tpu.midi.events import (
 
 def _read_varlen(buf: BinaryIO) -> int:
     value = 0
-    while True:
+    # SMF bounds a variable-length quantity at 4 bytes (max 0x0FFFFFFF).
+    # Reading on past that (as an unbounded loop would) lets one corrupted
+    # continuation bit chain gigabyte-scale tick values into the decoder —
+    # and diverges from the native parser, which rejects at the same bound
+    # (tests/test_native_codec.py pins the parity).
+    for _ in range(4):
         b = buf.read(1)
         if not b:
             raise EOFError("truncated variable-length quantity")
@@ -44,6 +49,7 @@ def _read_varlen(buf: BinaryIO) -> int:
         value = (value << 7) | (byte & 0x7F)
         if not byte & 0x80:
             return value
+    raise ValueError("variable-length quantity exceeds the SMF 4-byte bound")
 
 
 def _write_varlen(value: int) -> bytes:
@@ -109,6 +115,13 @@ def _parse_track(data: bytes) -> Track:
             track.append(SysexEvent(tick, status, payload))
         else:
             nibble = status >> 4
+            if nibble == 0xF:
+                # System-common 0xF1-0xFE: not valid SMF track content and
+                # not a channel event — fail loudly (and identically to the
+                # native parser) instead of KeyError-ing below or, worse,
+                # letting it become running status.
+                raise ValueError(f"invalid status byte {status:#04x} "
+                                 f"in track data")
             channel = status & 0x0F
             running_status = status
             n = CHANNEL_DATA_BYTES[nibble]
@@ -203,10 +216,15 @@ def _encode_event(evt: Event, out: bytearray) -> None:
 def write_midifile(path_or_file: Union[str, os.PathLike, BinaryIO],
                    pattern: Pattern) -> None:
     """Serialize a Pattern back to a .mid file (no running-status compression,
-    matching python-midi's writer so byte-level goldens are stable)."""
+    matching python-midi's writer so byte-level goldens are stable).
+
+    The header's format field is `pattern.fmt` as given (default 1, like
+    python-midi's Pattern.format): the reference's published files are all
+    format 1 with a single track, so forcing format 0 for single-track
+    patterns (as this writer once did) broke both read→write losslessness
+    and byte parity with reference-written files — review r4 finding; the
+    committed sample artifacts were re-stamped under the fix."""
     fmt = getattr(pattern, "fmt", 1)
-    if len(pattern) == 1:
-        fmt = 0
     body = bytearray()
     body += b"MThd" + struct.pack(">IHHH", 6, fmt, len(pattern),
                                   pattern.resolution)

@@ -51,6 +51,11 @@ def _masked_crc(data: bytes) -> int:
 # --- Tiny protobuf encoder ---------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # Python's arithmetic right-shift never zeroes a negative int —
+        # the loop below would spin forever.  No in-repo caller passes
+        # negatives (steps/lengths/field keys); fail loudly if one appears.
+        raise ValueError(f"varint requires a non-negative int, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -128,8 +133,11 @@ def _histogram_proto(values) -> bytes:
 
 def _histo_event(step: int, tag: str, values,
                  wall_time: Optional[float] = None) -> bytes:
+    # Summary.Value field 5 = histo (field 4 is image — verified against
+    # TF's summary.proto descriptors; tests/test_tboard.py round-trips
+    # the record through the real parser when TF is importable).
     summary_value = (_field_bytes(1, tag.encode())
-                     + _field_bytes(4, _histogram_proto(values)))
+                     + _field_bytes(5, _histogram_proto(values)))
     summary = _field_bytes(1, summary_value)
     return (_field_double(1, wall_time or time.time())
             + _field_varint(2, step)

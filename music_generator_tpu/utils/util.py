@@ -37,8 +37,10 @@ def get_all_files(paths: Sequence[str]) -> List[str]:
     (ref: util.py:25-33, and the ordering TODO at dataset.py:50)."""
     potential_files = []
     for path in paths:
-        for root, dirs, files in sorted(os.walk(path)):
-            dirs.sort()
+        # Determinism comes from sorting the materialized (root, dirs,
+        # files) tuples by root — sorted() exhausts the walk up front, so
+        # mutating `dirs` inside the loop could not influence traversal.
+        for root, _dirs, files in sorted(os.walk(path)):
             for f in sorted(files):
                 fname = os.path.join(root, f)
                 if os.path.isfile(fname) and fname.endswith(".mid"):

@@ -27,6 +27,13 @@ namespace {
 
 constexpr int kClasses = 128;
 
+// Hard bound on decoded frames per track: ~18 hours of music at the
+// reference's 16th-note grid — far beyond any real piece, but small enough
+// that a corrupted delta-tick can no longer drive an hours-long decode loop
+// and a tens-of-GB allocation (which would abort the process with an
+// uncatchable std::bad_alloc through the ctypes boundary).
+constexpr uint64_t kMaxFrames = 1u << 20;
+
 struct Event {
   uint32_t tick;     // delta ticks
   uint8_t status;    // full status byte (or 0xFF for meta)
@@ -46,12 +53,17 @@ struct Reader {
   uint32_t u16() { uint32_t a = u8(), b = u8(); return (a << 8) | b; }
   uint32_t u32() { uint32_t a = u16(), b = u16(); return (a << 16) | b; }
   uint32_t varlen() {
+    // SMF bounds a variable-length quantity at 4 bytes (max 0x0FFFFFFF).
+    // A 5th continuation byte is a malformed file: fail the parse (the
+    // Python parser raises at the same bound) rather than truncating and
+    // resuming mid-stream misaligned.
     uint32_t v = 0;
-    for (int i = 0; i < 5; ++i) {
+    for (int i = 0; i < 4; ++i) {
       uint8_t b = u8();
       v = (v << 7) | (b & 0x7F);
-      if (!(b & 0x80)) break;
+      if (!(b & 0x80)) return v;
     }
+    ok = false;
     return v;
   }
   void skip(uint32_t n) {
@@ -84,8 +96,14 @@ static bool parse_track(Reader r, std::vector<Event>* out) {
       r.skip(len);
       out->push_back(ev);
     } else {
-      running = status;
       uint8_t hi = status >> 4;
+      // System-common 0xF1-0xFE: not valid SMF track content and not a
+      // channel event — fail the parse (the Python parser raises on the
+      // same bytes) instead of consuming two data bytes and letting the
+      // stray byte become running status, which silently shifts every
+      // following event into the roll.
+      if (hi == 0xF) return false;
+      running = status;
       int nbytes = (hi == 0xC || hi == 0xD) ? 1 : 2;
       ev.d0 = r.u8();
       if (nbytes == 2) ev.d1 = r.u8();
@@ -103,7 +121,8 @@ static bool parse_track(Reader r, std::vector<Event>* out) {
 // reference's single buffer entry per tick).  Windows close when the cursor
 // crosses a multiple of `step`; the tail frame reports the snapshot taken at
 // its first tick instead of the max.
-static void decode_track(const std::vector<Event>& events, int step,
+// Returns false when the frame bound is exceeded (malformed tick data).
+static bool decode_track(const std::vector<Event>& events, int step,
                          std::vector<double>* volume,
                          std::vector<double>* replay) {
   double cur[kClasses] = {0};
@@ -129,7 +148,12 @@ static void decode_track(const std::vector<Event>& events, int step,
     std::memset(win_max, 0, sizeof(win_max));
   };
 
+  bool bounded = true;
   auto advance_to = [&](uint64_t target) {
+    if (target / (uint64_t)step >= kMaxFrames) {
+      bounded = false;
+      return;
+    }
     while (cur_tick < target) {
       // Leaving tick cur_tick: its state is final — fold into the window.
       // Ticks up to the next boundary share this state (no events between),
@@ -151,6 +175,7 @@ static void decode_track(const std::vector<Event>& events, int step,
 
   for (const Event& ev : events) {
     if (ev.tick) advance_to(cur_tick + ev.tick);
+    if (!bounded) return false;
     if (ev.status == 0xFF && ev.meta_type == 0x2F) break;
     uint8_t hi = ev.status >> 4;
     if (hi == 0x9 || hi == 0x8) {
@@ -177,18 +202,14 @@ static void decode_track(const std::vector<Event>& events, int step,
     (*volume)[base + c] = start_snap[c];
     (*replay)[base + c] = win_replay[c] ? 1.0 : 0.0;
   }
+  return true;
 }
 
 }  // namespace
 
-extern "C" {
-
-// Decode a .mid file already loaded into memory.
-// On success returns 0 and sets *out (malloc'd [T, 128, 3] float64,
-// channels: play, replay, volume) and *out_frames = T.
-// Caller frees with dj_free.  Returns nonzero on parse failure.
-int dj_decode_buffer(const uint8_t* data, uint64_t size, int notes_per_beat,
-                     int step_override, double** out, int64_t* out_frames) {
+static int dj_decode_buffer_impl(const uint8_t* data, uint64_t size,
+                                 int notes_per_beat, int step_override,
+                                 double** out, int64_t* out_frames) {
   Reader r{data, data + size};
   if (r.u32() != 0x4D546864u) return 1;  // "MThd"
   uint32_t hdr_len = r.u32();
@@ -228,7 +249,7 @@ int dj_decode_buffer(const uint8_t* data, uint64_t size, int notes_per_beat,
     if (!parse_track(Reader{body, body + len}, &events)) return 3;
 
     std::vector<double> vol, rep;
-    decode_track(events, step, &vol, &rep);
+    if (!decode_track(events, step, &vol, &rep)) return 3;
 
     if (!have) {
       merged_vol = std::move(vol);
@@ -270,6 +291,26 @@ int dj_decode_buffer(const uint8_t* data, uint64_t size, int notes_per_beat,
   *out = roll;
   *out_frames = frames;
   return 0;
+}
+
+extern "C" {
+
+// Decode a .mid file already loaded into memory.
+// On success returns 0 and sets *out (malloc'd [T, 128, 3] float64,
+// channels: play, replay, volume) and *out_frames = T.
+// Caller frees with dj_free.  Returns nonzero on parse failure.
+int dj_decode_buffer(const uint8_t* data, uint64_t size, int notes_per_beat,
+                     int step_override, double** out, int64_t* out_frames) {
+  // No C++ exception may unwind through the extern "C"/ctypes boundary
+  // (std::terminate would abort the whole training process) — convert
+  // anything thrown (e.g. bad_alloc from a vector resize) to an error code
+  // that the Python caller surfaces as a per-file parse failure.
+  try {
+    return dj_decode_buffer_impl(data, size, notes_per_beat, step_override,
+                                 out, out_frames);
+  } catch (...) {
+    return 5;
+  }
 }
 
 int dj_decode_file(const char* path, int notes_per_beat, int step_override,

@@ -264,3 +264,33 @@ def test_decode_rejects_sub_beat_resolution():
         midi.EndOfTrackEvent(tick=4)])], resolution=2)
     with pytest.raises(ValueError, match="resolution"):
         midi.midi_decode(pattern, 128)
+
+
+def test_writer_preserves_format_field():
+    """The header format field is pattern.fmt as given (python-midi writes
+    Pattern.format, default 1; the reference's published files are all
+    format 1 single-track).  The writer once forced format 0 for
+    single-track patterns, breaking read-write losslessness — pin both
+    directions."""
+    import struct
+
+    from music_generator_tpu.midi.events import (
+        EndOfTrackEvent,
+        NoteOnEvent,
+    )
+    from music_generator_tpu.midi.io import (
+        Pattern,
+        Track,
+        read_midifile,
+        write_midifile,
+    )
+    track = Track([NoteOnEvent(tick=0, pitch=60, velocity=64),
+                   EndOfTrackEvent(tick=4)])
+    for fmt in (0, 1):
+        buf = io.BytesIO()
+        write_midifile(buf, Pattern([track], resolution=4, fmt=fmt))
+        data = buf.getvalue()
+        assert struct.unpack(">H", data[8:10])[0] == fmt
+        again = io.BytesIO()
+        write_midifile(again, read_midifile(io.BytesIO(data)))
+        assert again.getvalue() == data          # lossless round-trip

@@ -236,3 +236,78 @@ def test_native_rejects_sub_beat_resolution_like_python():
         midi.midi_decode(midi.read_midifile(io.BytesIO(buf.getvalue())), 128)
     with pytest.raises(RuntimeError):
         native.native_decode_bytes(buf.getvalue())
+
+
+def test_load_midi_relative_traversal_caches_under_cache_dir(tmp_path,
+                                                             monkeypatch):
+    """A relative path with '..' segments must also cache UNDER cache_dir
+    ('../data/x.mid' would otherwise resolve the key outside it — the
+    same littering failure deviation #11 closed for absolute paths)."""
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import load_midi
+    (tmp_path / "data").mkdir()
+    (tmp_path / "sub").mkdir()
+    src_abs = tmp_path / "data" / "x.mid"
+    midi.write_midifile(str(src_abs), _random_pattern(3))
+    monkeypatch.chdir(tmp_path / "sub")
+    cfg = default_config()          # out/cache relative to sub/
+    roll = load_midi(os.path.join("..", "data", "x.mid"), cfg)
+    assert roll.shape[1:] == (128, 3)
+    cached = os.path.join(cfg.cache_dir, "data", "x.mid.npy")
+    assert os.path.exists(cached)
+    # Nothing escaped: the only .npy under tmp_path lives in sub/out/cache.
+    strays = [p for p in tmp_path.rglob("*.npy")
+              if (tmp_path / "sub" / "out") not in p.parents]
+    assert strays == []
+
+
+def _smf(track_body: bytes, division: int = 96) -> bytes:
+    import struct
+    head = b"MThd" + struct.pack(">IHHH", 6, 1, 1, division)
+    return head + b"MTrk" + struct.pack(">I", len(track_body)) + track_body
+
+
+def test_system_common_status_rejected_by_both_parsers():
+    """0xF1-0xFE are not valid SMF track content: the Python parser raises
+    and the native parser must too — the pre-fix native fell into the
+    channel-event branch (consuming two bytes, adopting 0xFn as running
+    status), so corpus contents depended on whether the .so was built."""
+    body = bytes([0x00, 0xF1, 0x00, 0x00, 0x00, 0xFF, 0x2F, 0x00])
+    data = _smf(body)
+    with pytest.raises(ValueError, match="invalid status byte"):
+        midi.read_midifile(io.BytesIO(data))
+    if native.available():
+        with pytest.raises(RuntimeError):
+            native.native_decode_bytes(data)
+
+
+def test_overlong_varint_rejected_by_both_parsers():
+    """SMF bounds a varint at 4 bytes; a 5-byte encoding must fail the
+    parse identically on both sides (the pre-fix native silently truncated
+    and resumed misaligned; Python read on unboundedly)."""
+    body = (bytes([0x81, 0x80, 0x80, 0x80, 0x00])      # 5-byte varint delta
+            + bytes([0x90, 60, 64, 0x00, 0xFF, 0x2F, 0x00]))
+    data = _smf(body)
+    with pytest.raises(ValueError, match="4-byte bound"):
+        midi.read_midifile(io.BytesIO(data))
+    if native.available():
+        with pytest.raises(RuntimeError):
+            native.native_decode_bytes(data)
+
+
+def test_frame_bound_rejected_by_both_decoders():
+    """A (well-formed) delta of 0x0FFFFFFF ticks implies ~11M frames at
+    this division — over the 2^20 bound both decoders enforce, so the file
+    fails cleanly per-file instead of driving a multi-GB allocation (the
+    pre-fix native could abort the whole process via std::bad_alloc
+    unwinding through ctypes)."""
+    body = (bytes([0x00, 0x90, 60, 64])                # NoteOn at t=0
+            + bytes([0xFF, 0xFF, 0xFF, 0x7F])          # max 4-byte varint
+            + bytes([0x80, 60, 0, 0x00, 0xFF, 0x2F, 0x00]))
+    data = _smf(body)
+    pattern = midi.read_midifile(io.BytesIO(data))     # parse itself is fine
+    with pytest.raises(ValueError, match="2\\^20"):
+        midi.midi_decode(pattern, 128)
+    if native.available():
+        with pytest.raises(RuntimeError):
+            native.native_decode_bytes(data)

@@ -1,6 +1,8 @@
 """TensorBoard event-file writer tests: TFRecord framing, masked CRC32C, and
-protobuf-level decode of the scalar events (no tensorflow available here, so
-the test parses the wire format directly)."""
+protobuf-level decode of the scalar events via a hand-rolled wire parser,
+plus (when tensorflow is importable — it is in this image, CPU-only) a
+round-trip through TF's REAL event/summary protos as the external oracle
+for the field numbers."""
 
 import glob
 import io
@@ -205,7 +207,7 @@ def test_histogram_event_wire_format(tmp_path):
 
     v = _parse_value_fields(records[1])
     assert v[1] == b"params/test/kernel"
-    h = _parse_histo(v[4])
+    h = _parse_histo(v[5])   # Summary.Value field 5 = histo
     np.testing.assert_allclose(h["min"], vals.min())
     np.testing.assert_allclose(h["max"], vals.max())
     np.testing.assert_allclose(h["num"], len(vals))
@@ -214,7 +216,7 @@ def test_histogram_event_wire_format(tmp_path):
     np.testing.assert_allclose(sum(h["buckets"]), len(vals))
     assert all(a < b for a, b in zip(h["limits"], h["limits"][1:]))
 
-    h_empty = _parse_histo(_parse_value_fields(records[2])[4])
+    h_empty = _parse_histo(_parse_value_fields(records[2])[5])
     assert h_empty["num"] == 0
 
 
@@ -227,9 +229,9 @@ def test_histogram_survives_nonfinite(tmp_path):
     w.close()
     files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
     records = _read_records(files[0])
-    h_nan = _parse_histo(_parse_value_fields(records[1])[4])
+    h_nan = _parse_histo(_parse_value_fields(records[1])[5])
     assert h_nan["num"] == 0
-    h_mixed = _parse_histo(_parse_value_fields(records[2])[4])
+    h_mixed = _parse_histo(_parse_value_fields(records[2])[5])
     assert h_mixed["num"] == 2
     np.testing.assert_allclose(h_mixed["sum"], 3.0)
 
@@ -240,7 +242,7 @@ def test_histogram_constant_values(tmp_path):
     w.close()
     files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
     records = _read_records(files[0])
-    h_const = _parse_histo(_parse_value_fields(records[1])[4])
+    h_const = _parse_histo(_parse_value_fields(records[1])[5])
     assert h_const["num"] == 7
     np.testing.assert_allclose(h_const["min"], 1.25)
     np.testing.assert_allclose(sum(h_const["buckets"]), 7)
@@ -272,11 +274,48 @@ def test_trainer_writes_param_histograms(tmp_path):
     histo_tags = []
     for rec in _read_records(files[0])[1:]:
         v = _parse_value_fields(rec)
-        if v and 4 in v:
+        if v and 5 in v:                   # Summary.Value field 5 = histo
             histo_tags.append(v[1].decode())
-            h = _parse_histo(v[4])
+            h = _parse_histo(v[5])
             assert h["num"] > 0
     n_leaves = len(jax.tree.leaves(trainer.state.params))
     assert len(histo_tags) == n_leaves
     assert all(t.startswith("params") for t in histo_tags)
     assert len(set(histo_tags)) == n_leaves     # distinct per-leaf tags
+
+
+def test_wire_format_parses_with_real_tensorflow(tmp_path):
+    """External oracle: TF's own Event/Summary protos must decode the
+    writer's records with the scalar in simple_value and the histogram in
+    Summary.Value.histo (field 5 — a hand-rolled parser sharing a wrong
+    field constant with the writer cannot catch that class of bug; this
+    one did exist: histograms were written to field 4 = image)."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow.core.util import event_pb2
+
+    vals = np.linspace(-2.0, 3.0, 50)
+    w = SummaryWriter(str(tmp_path))
+    w.scalar("loss", 0.5, step=3)
+    w.histogram("params/kernel", vals, step=4)
+    w.close()
+
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    records = _read_records(files[0])
+    events = [event_pb2.Event.FromString(r) for r in records]
+    assert events[0].file_version == "brain.Event:2"
+
+    sv = events[1].summary.value[0]
+    assert sv.tag == "loss"
+    assert events[1].step == 3
+    np.testing.assert_allclose(sv.simple_value, 0.5, rtol=1e-6)
+
+    hv = events[2].summary.value[0]
+    assert hv.tag == "params/kernel"
+    assert hv.WhichOneof("value") == "histo"
+    h = hv.histo
+    np.testing.assert_allclose(h.min, vals.min())
+    np.testing.assert_allclose(h.max, vals.max())
+    np.testing.assert_allclose(h.num, len(vals))
+    np.testing.assert_allclose(h.sum, vals.sum())
+    np.testing.assert_allclose(sum(h.bucket), len(vals))
