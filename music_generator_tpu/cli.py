@@ -92,6 +92,15 @@ def generate_main(argv=None) -> None:
                              "velocity grid (opt-in deviation #9, "
                              "docs/MIGRATION.md — changes the sampled "
                              "bytes vs the default raw copy-through)")
+    parser.add_argument("--keras2-gates", action="store_true",
+                        help="Run LSTM gates with Keras 2's hard_sigmoid "
+                             "(clip(0.2x+0.5,0,1)) instead of exact "
+                             "sigmoid — use with --from-keras weights "
+                             "that were TRAINED in the reference codebase "
+                             "so they keep their original gate math "
+                             "(deviation #12, docs/MIGRATION.md; "
+                             "validated against real Keras by "
+                             "tools/keras_oracle.py)")
     parser.add_argument("--prime", type=str, default=None, metavar="MIDI",
                         help="Continue composing from an existing .mid "
                              "file: the streaming state is teacher-forced "
@@ -110,6 +119,8 @@ def generate_main(argv=None) -> None:
     cfg = default_config()
     if args.quantize_volume:
         cfg = cfg.replace(gen_volume_quantize=True)
+    if args.keras2_gates:
+        cfg = cfg.replace(lstm_recurrent_activation="hard_sigmoid")
     model = DeepJ(cfg)
     if args.from_keras:
         from music_generator_tpu.training.keras_import import (

@@ -120,6 +120,14 @@ class Config:
     # Use the fused Pallas LSTM kernel where applicable ("auto" picks it on
     # TPU backends, plain lax.scan elsewhere).
     lstm_kernel: str = "auto"      # "auto" | "pallas" | "xla"
+    # LSTM gate recurrent activation.  "sigmoid" is this framework's
+    # default; "hard_sigmoid" is Keras 2's clip(0.2x+0.5, 0, 1) — the
+    # reference era's LSTM default, offered so genuine Keras-2-trained
+    # weights run with their original gate math (deviation #12,
+    # docs/MIGRATION.md; measured vs real Keras by tools/keras_oracle.py).
+    # Forces the XLA kernel path (the fused Pallas kernels implement
+    # sigmoid gates only).
+    lstm_recurrent_activation: str = "sigmoid"
     # Octave-transpose data augmentation (flag off for parity runs).
     transpose_augment: int = 0     # max semitone shift (0 disables)
     # Time-axis recurrence family.  "lstm" is the reference architecture

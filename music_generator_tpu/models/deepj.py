@@ -179,7 +179,13 @@ class DeepJ:
         return jnp.dtype(self.cfg.compute_dtype)
 
     def _kernel(self) -> str:
-        k = self.cfg.lstm_kernel
+        cfg = self.cfg
+        if cfg.lstm_recurrent_activation != "sigmoid":
+            # The fused Pallas kernels implement sigmoid gates only; the
+            # Keras-2 hard_sigmoid compatibility mode (deviation #12) runs
+            # on the XLA path regardless of lstm_kernel.
+            return "xla"
+        k = cfg.lstm_kernel
         if k != "auto":
             return k
         return "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -339,7 +345,9 @@ class DeepJ:
                 hs, _ = lstm_scan(layer.lstm,
                                   x.reshape(T, B * N, x.shape[-1]),
                                   compute_dtype=self._dt(),
-                                  kernel=self._kernel())
+                                  kernel=self._kernel(),
+                                  recurrent_activation=(
+                                      cfg.lstm_recurrent_activation))
             else:
                 # The linear-scan study variant: O(log T) associative scan,
                 # no recurrent matmul (ops/linear_scan.py).
@@ -400,7 +408,10 @@ class DeepJ:
             proj = dropout(_sub(rng, f"nstyle{l}"), proj, cfg.dropout, train)
             x = x + proj
             hs, _ = lstm_scan(layer.lstm, x.reshape(N, B * T, x.shape[-1]),
-                              compute_dtype=self._dt(), kernel=self._kernel())
+                              compute_dtype=self._dt(),
+                              kernel=self._kernel(),
+                              recurrent_activation=(
+                                  cfg.lstm_recurrent_activation))
             x = dropout(_sub(rng, f"ndrop{l}"), hs.reshape(N, B, T, -1),
                         cfg.dropout, train)
 
@@ -561,7 +572,9 @@ class DeepJ:
             xin = x.reshape(G * N, x.shape[-1])
             if isinstance(layer.lstm, LSTMParams):
                 h, c = lstm_step(layer.lstm, xin, *layer_state,
-                                 compute_dtype=self._dt())
+                                 compute_dtype=self._dt(),
+                                 recurrent_activation=(
+                                     cfg.lstm_recurrent_activation))
                 new_state.append((h, c))
             else:
                 from music_generator_tpu.ops.linear_scan import glru_step
@@ -592,7 +605,9 @@ class DeepJ:
         for layer, (h, c) in zip(params.note_axis, state):
             proj = jnp.tanh(dense_apply(layer.style_proj, style_emb, self._dt()))
             x = x + proj
-            h, c = lstm_step(layer.lstm, x, h, c, compute_dtype=self._dt())
+            h, c = lstm_step(layer.lstm, x, h, c, compute_dtype=self._dt(),
+                             recurrent_activation=(
+                                 self.cfg.lstm_recurrent_activation))
             new_state.append((h, c))
             x = h
         return self.heads(params, x), tuple(new_state)

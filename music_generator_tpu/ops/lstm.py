@@ -44,33 +44,54 @@ def lstm_init(key: jax.Array, input_dim: int, hidden: int,
     return LSTMParams(kernel, recurrent, bias)
 
 
-def _gates(z: jax.Array, c: jax.Array, hidden: int) -> Tuple[jax.Array, jax.Array]:
+def _keras2_hard_sigmoid(x: jax.Array) -> jax.Array:
+    """Keras 2's hard_sigmoid: clip(0.2x + 0.5, 0, 1) — NOT Keras 3's
+    x/6 + 0.5 redefinition.  The reference era's LSTM default
+    recurrent_activation (docs/MIGRATION.md deviation #12)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+_RECURRENT_ACTIVATIONS = {
+    "sigmoid": jax.nn.sigmoid,
+    "hard_sigmoid": _keras2_hard_sigmoid,
+}
+
+
+def _gates(z: jax.Array, c: jax.Array, hidden: int,
+           recurrent_activation: str = "sigmoid",
+           ) -> Tuple[jax.Array, jax.Array]:
     """Apply the four-gate nonlinearity.  z = x@W + h@U + b, shape [B, 4H]."""
-    i = jax.nn.sigmoid(z[:, :hidden])
-    f = jax.nn.sigmoid(z[:, hidden:2 * hidden])
+    act = _RECURRENT_ACTIVATIONS[recurrent_activation]
+    i = act(z[:, :hidden])
+    f = act(z[:, hidden:2 * hidden])
     g = jnp.tanh(z[:, 2 * hidden:3 * hidden])
-    o = jax.nn.sigmoid(z[:, 3 * hidden:])
+    o = act(z[:, 3 * hidden:])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     return h_new, c_new
 
 
 def lstm_step(params: LSTMParams, x: jax.Array, h: jax.Array,
-              c: jax.Array, compute_dtype=None) -> Tuple[jax.Array, jax.Array]:
+              c: jax.Array, compute_dtype=None,
+              recurrent_activation: str = "sigmoid",
+              ) -> Tuple[jax.Array, jax.Array]:
     """Single cell step: x [B, D], h/c [B, H] → (h', c')."""
     hidden = params.recurrent.shape[0]
     dt = compute_dtype or x.dtype
     z = (x.astype(dt) @ params.kernel.astype(dt)
          + h.astype(dt) @ params.recurrent.astype(dt)
          + params.bias.astype(dt))
-    return _gates(z.astype(jnp.float32), c.astype(jnp.float32), hidden)
+    return _gates(z.astype(jnp.float32), c.astype(jnp.float32), hidden,
+                  recurrent_activation)
 
 
 def lstm_scan(params: LSTMParams, xs: jax.Array,
               h0: Optional[jax.Array] = None,
               c0: Optional[jax.Array] = None,
               compute_dtype=None,
-              kernel: str = "xla") -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+              kernel: str = "xla",
+              recurrent_activation: str = "sigmoid",
+              ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Run the LSTM over a sequence.
 
     xs: [T, B, D] time-major.  Returns (hs [T, B, H], (h_T, c_T)).
@@ -92,6 +113,9 @@ def lstm_scan(params: LSTMParams, xs: jax.Array,
           + params.bias.astype(dt)).reshape(T, B, 4 * hidden)
 
     if kernel == "pallas":
+        # The fused kernels implement sigmoid gates only; callers select
+        # kernel="xla" for other activations (DeepJ._kernel does).
+        assert recurrent_activation == "sigmoid", recurrent_activation
         from music_generator_tpu.ops.pallas_lstm import pallas_lstm_recurrence
         return pallas_lstm_recurrence(xw, params.recurrent, h0, c0, dt)
 
@@ -100,7 +124,7 @@ def lstm_scan(params: LSTMParams, xs: jax.Array,
     def body(carry, xw_t):
         h, c = carry
         z = xw_t.astype(jnp.float32) + (h.astype(dt) @ rec).astype(jnp.float32)
-        h_new, c_new = _gates(z, c, hidden)
+        h_new, c_new = _gates(z, c, hidden, recurrent_activation)
         return (h_new, c_new), h_new
 
     (h_fin, c_fin), hs = jax.lax.scan(body, (h0, c0), xw)

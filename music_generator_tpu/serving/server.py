@@ -292,6 +292,10 @@ def serve_main(argv=None) -> None:
                         help="Serve a reference (Keras 2) model.h5 "
                              "directly instead of this framework's "
                              "checkpoint")
+    parser.add_argument("--keras2-gates", action="store_true",
+                        help="Keras 2 hard_sigmoid LSTM gates for "
+                             "reference-TRAINED weights (deviation #12, "
+                             "docs/MIGRATION.md)")
     parser.add_argument("--max-batch", type=int, default=64,
                         help="largest /generate_batch request (each "
                              "power-of-two bucket up to it compiles one "
@@ -301,14 +305,17 @@ def serve_main(argv=None) -> None:
 
     from music_generator_tpu.utils.compile_cache import enable
     enable()
+    cfg = default_config()
+    if args.keras2_gates:
+        cfg = cfg.replace(lstm_recurrent_activation="hard_sigmoid")
     params = None
     if args.from_keras:
-        from music_generator_tpu.config import default_config
         from music_generator_tpu.training.keras_import import (
             load_keras_weights)
-        params = load_keras_weights(args.from_keras, default_config())
+        params = load_keras_weights(args.from_keras, cfg)
         print(f"Loaded Keras weights from {args.from_keras}")
-    service = GenerationService(params=params, max_batch=args.max_batch)
+    service = GenerationService(config=cfg, params=params,
+                                max_batch=args.max_batch)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(service))
     print(f"serving on http://{args.host}:{args.port}")

@@ -25,9 +25,11 @@ graph-building calls, (2) is the published algorithm.  The resulting
 (name, weighted-kind) table must equal REFERENCE_LAYER_TABLE — pinned by
 tests/test_keras_import.py::test_layer_table_matches_graph_derivation.
 
-No TF/Keras exists in this image, so this derivational oracle is the
-strongest available check; a run against real Keras 2 remains noted in
-docs/MIGRATION.md.
+This derivational oracle is self-contained (no TF import); late round 4
+additionally discovered TF/Keras IS importable in this image and added the
+external check on top: tools/keras_oracle.py rebuilds the graph in real
+Keras and its topological sort reproduces the same table
+(tests/test_keras_oracle.py).
 """
 
 from collections import defaultdict

@@ -338,3 +338,38 @@ def test_init_params_supports_deeper_stacks():
     assert len(p.time_axis) == 4 and len(p.note_axis) == 3
     for leaf in jax.tree.leaves(p):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_keras2_hard_sigmoid_gate_mode():
+    """Config(lstm_recurrent_activation="hard_sigmoid") — the Keras-2-era
+    gate default (clip(0.2x+0.5, 0, 1), deviation #12) for running
+    imported reference-trained weights faithfully.  Must change the
+    forward, force the XLA kernel path (the fused kernels are
+    sigmoid-only), and match a hand-stepped hard_sigmoid cell."""
+    from music_generator_tpu.config import test_config as sc
+    from music_generator_tpu.ops.lstm import lstm_init, lstm_step
+
+    cfg_s = sc(lstm_kernel="xla")
+    cfg_h = sc(lstm_kernel="pallas",        # overridden by the gate mode
+               lstm_recurrent_activation="hard_sigmoid")
+    assert DeepJ(cfg_h)._kernel() == "xla"
+
+    p = init_params(jax.random.key(0), cfg_s)
+    notes, chosen, beat, style = _batch(jax.random.key(8), B=2, T=4)
+    out_s = DeepJ(cfg_s).forward(p, notes, chosen, beat, style)
+    out_h = DeepJ(cfg_h).forward(p, notes, chosen, beat, style)
+    assert np.max(np.abs(np.asarray(out_s) - np.asarray(out_h))) > 1e-4
+
+    # Cell-level oracle: one hard_sigmoid step against the formula.
+    lp = lstm_init(jax.random.key(3), 5, 4)
+    x = jax.random.normal(jax.random.key(4), (2, 5))
+    h0 = jnp.zeros((2, 4))
+    c0 = jnp.zeros((2, 4))
+    h1, c1 = lstm_step(lp, x, h0, c0, recurrent_activation="hard_sigmoid")
+    z = np.asarray(x @ lp.kernel + lp.bias)
+    hs = lambda v: np.clip(0.2 * v + 0.5, 0.0, 1.0)
+    i, f, g, o = (hs(z[:, :4]), hs(z[:, 4:8]), np.tanh(z[:, 8:12]),
+                  hs(z[:, 12:]))
+    c_ref = f * np.asarray(c0) + i * g
+    np.testing.assert_allclose(np.asarray(c1), c_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), o * np.tanh(c_ref), atol=1e-6)
