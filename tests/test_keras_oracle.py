@@ -85,3 +85,59 @@ def test_real_keras_forward_matches_jax(keras_model):
         jax_out = np.asarray(DeepJ(cfg).forward(params, notes, notes, beat,
                                                 style))
     np.testing.assert_allclose(keras_out, jax_out, atol=5e-5)
+
+
+def test_real_tf_autodiff_gradient_parity(keras_model):
+    """Backward-path oracle: d/dtheta mean(forward * W) by real TF
+    autodiff vs jax.grad, on the committed flagship weights.  (A smooth
+    functional, not the clipped BCE — near the 1e-7 clip d2L/dp2 ~ 1/p^2
+    turns float-level forward drift into percent-level gradient drift on
+    both frameworks equally; the masking semantics are numpy-oracle
+    tests' job.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.models.deepj import DeepJ
+    from music_generator_tpu.training.keras_import import load_keras_weights
+
+    load_by_name(keras_model, H5)
+    cfg = default_config().replace(lstm_kernel="xla",
+                                   compute_dtype="float32")
+    T, B, N = 4, 2, cfg.num_notes
+    rng = np.random.default_rng(7)
+    notes = (rng.random((B, T, N, 3)) < 0.2).astype(np.float32)
+    beat = np.eye(cfg.notes_per_bar, dtype=np.float32)[
+        np.arange(T) % cfg.notes_per_bar][None].repeat(B, axis=0)
+    style = np.zeros((B, T, cfg.num_styles), np.float32)
+    style[..., 5] = 1.0
+    W = rng.standard_normal((B, T, N, 3)).astype(np.float32)
+
+    with tf.GradientTape() as tape:
+        out = keras_model([notes, notes, beat, style], training=False)
+        fn = tf.reduce_mean(out * W)
+    kgrads = tape.gradient(fn, keras_model.trainable_variables)
+    kg = {v.path: np.asarray(g)
+          for v, g in zip(keras_model.trainable_variables, kgrads)}
+
+    params = load_keras_weights(H5, cfg)
+    model = DeepJ(cfg)
+    with jax.default_matmul_precision("highest"):
+        jg = jax.grad(lambda p: jnp.mean(
+            model.forward(p, notes, notes, beat, style) * W))(params)
+
+    # Spot-check tensors across the graph depth (full 28-tensor sweep is
+    # tools/keras_oracle.py's job).
+    checks = [
+        ("style/kernel", jg.style_embed.kernel),
+        ("conv1d_1/kernel", jg.conv.kernel),
+        ("lstm_1/lstm_cell/recurrent_kernel", jg.time_axis[0].lstm.recurrent),
+        ("lstm_4/lstm_cell/kernel", jg.note_axis[1].lstm.kernel),
+        ("volume_dense/kernel", jg.volume_dense.kernel),
+    ]
+    for suffix, jleaf in checks:
+        karr = next(v for k, v in kg.items() if k.endswith(suffix))
+        jarr = np.asarray(jleaf)
+        cos = float(np.dot(karr.ravel(), jarr.ravel())
+                    / (np.linalg.norm(karr) * np.linalg.norm(jarr) + 1e-30))
+        assert cos > 0.99999, (suffix, cos)

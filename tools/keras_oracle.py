@@ -312,6 +312,126 @@ def main(argv=None):
     report["forward_maxdiff_hard_sigmoid_compat_mode"] = dhs
     assert dhs < 5e-5, dhs
 
+    # --- 5. loss + full gradient oracle ----------------------------------
+    # The reference's primary_loss (ref: model.py:14-20) computed with real
+    # keras.losses on the real-Keras forward, differentiated by real TF
+    # autodiff, vs our masked loss + jax.grad — the external check of the
+    # subtle masking semantics AND the whole backward pass.
+    import tensorflow as tf
+    from keras import losses as klosses
+
+    targets = (rng.random((B, T, cfg.num_notes, 3)) < 0.25).astype(
+        np.float32)
+    targets[..., 2] *= rng.random((B, T, cfg.num_notes)).astype(np.float32)
+    targets[..., 0] = (targets[..., 2] > 0).astype(np.float32)
+
+    # 5a. Loss-value parity: the reference's formula with real
+    # keras.losses on the real-Keras forward vs our masked loss.
+    tt = tf.constant(targets)
+    pred = model([notes, targets, beat, style], training=False)
+    played = tt[..., 0]
+    bce_note = klosses.binary_crossentropy(tt[..., 0], pred[..., 0])
+    bce_replay = klosses.binary_crossentropy(
+        tt[..., 1], played * pred[..., 1] + (1 - played) * tt[..., 1])
+    mse = klosses.mean_squared_error(
+        tt[..., 2], played * pred[..., 2] + (1 - played) * tt[..., 2])
+    keras_loss = tf.reduce_mean(bce_note + bce_replay + mse)
+
+    def jax_loss(p):
+        return jmodel.loss(p, (notes, targets, beat, style), rng=None,
+                           train=False)[0]
+
+    with jax.default_matmul_precision("highest"):
+        jl = jax_loss(params)
+    dl = abs(float(jl) - float(keras_loss)) / max(1.0, abs(float(keras_loss)))
+    print(f"loss: keras={float(keras_loss):.6f} jax={float(jl):.6f} "
+          f"rel-diff={dl:.3e}")
+    report["loss_keras"] = float(keras_loss)
+    report["loss_jax"] = float(jl)
+    # Random targets against a trained model put many elements near the
+    # BCE 1e-7 clip, where log() amplifies the ~3e-6 forward drift —
+    # relative tolerance, not the forward pass's absolute one.  (The same
+    # amplification is why the GRADIENT check below differentiates a
+    # smooth functional of the forward instead of the clipped BCE: near
+    # the clip, d2L/dp2 ~ 1/p^2 turns float-level forward drift into
+    # percent-level gradient drift on BOTH frameworks equally — it would
+    # measure the targets' clip proximity, not implementation parity.
+    # The masking semantics themselves are numpy-oracle-pinned in
+    # tests/test_model.py.)
+    assert dl < 1e-3, dl
+
+    # 5b. Backward-path parity: d/dtheta mean(forward * W) for a fixed
+    # random W — real TF autodiff through the whole graph vs jax.grad.
+    W = rng.standard_normal(pred.shape).astype(np.float32)
+    with tf.GradientTape() as tape:
+        p2 = model([notes, targets, beat, style], training=False)
+        keras_fn = tf.reduce_mean(p2 * W)
+    keras_grads = tape.gradient(keras_fn, model.trainable_variables)
+    kg = {v.path if hasattr(v, "path") else v.name: np.asarray(g)
+          for v, g in zip(model.trainable_variables, keras_grads)}
+
+    import jax.numpy as jnp
+
+    def jax_fn(p):
+        out = jmodel.forward(p, notes, targets, beat, style)
+        return jnp.mean(out * W)
+
+    with jax.default_matmul_precision("highest"):
+        jg = jax.grad(jax_fn)(params)
+
+    # Pair real-Keras gradients with our Params leaves by layer name.
+    pairs = [
+        ("style", [jg.style_embed.kernel, jg.style_embed.bias]),
+        ("conv1d_1", [jg.conv.kernel, jg.conv.bias]),
+        ("dense_1", [jg.time_axis[0].style_proj.kernel,
+                     jg.time_axis[0].style_proj.bias]),
+        ("dense_2", [jg.time_axis[1].style_proj.kernel,
+                     jg.time_axis[1].style_proj.bias]),
+        ("lstm_1", [jg.time_axis[0].lstm.kernel,
+                    jg.time_axis[0].lstm.recurrent,
+                    jg.time_axis[0].lstm.bias]),
+        ("lstm_2", [jg.time_axis[1].lstm.kernel,
+                    jg.time_axis[1].lstm.recurrent,
+                    jg.time_axis[1].lstm.bias]),
+        ("dense_3", [jg.note_axis[0].style_proj.kernel,
+                     jg.note_axis[0].style_proj.bias]),
+        ("dense_4", [jg.note_axis[1].style_proj.kernel,
+                     jg.note_axis[1].style_proj.bias]),
+        ("lstm_3", [jg.note_axis[0].lstm.kernel,
+                    jg.note_axis[0].lstm.recurrent,
+                    jg.note_axis[0].lstm.bias]),
+        ("lstm_4", [jg.note_axis[1].lstm.kernel,
+                    jg.note_axis[1].lstm.recurrent,
+                    jg.note_axis[1].lstm.bias]),
+        ("note_dense", [jg.note_dense.kernel, jg.note_dense.bias]),
+        ("volume_dense", [jg.volume_dense.kernel, jg.volume_dense.bias]),
+    ]
+    worst = (1.0, "")
+    n_checked = 0
+    for inner, jleaves in pairs:
+        part_names = (["kernel", "bias"] if len(jleaves) == 2
+                      else ["kernel", "recurrent_kernel", "bias"])
+        for part, jgrad in zip(part_names, jleaves):
+            jarr = np.asarray(jgrad)
+            # Keras variable paths look like "lstm_1/recurrent_kernel";
+            # "kernel" must not match "recurrent_kernel".
+            kname = next(k for k in kg
+                         if f"{inner}/" in k and k.endswith("/" + part))
+            karr = kg.pop(kname)
+            assert karr.shape == jarr.shape, (kname, karr.shape, jarr.shape)
+            cos = float(np.dot(karr.ravel(), jarr.ravel())
+                        / (np.linalg.norm(karr) * np.linalg.norm(jarr)
+                           + 1e-30))
+            n_checked += 1
+            if cos < worst[0]:
+                worst = (cos, kname)
+    assert n_checked == 28, n_checked
+    print(f"gradient cosine similarity (worst of 28 tensors): "
+          f"{worst[0]:.8f} ({worst[1]})")
+    report["grad_cosine_worst"] = worst[0]
+    report["grad_cosine_worst_tensor"] = worst[1]
+    assert worst[0] > 0.99999, worst
+
     if not args.no_artifact:
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(args.out, "REPORT.json")
