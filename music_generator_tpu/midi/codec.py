@@ -299,15 +299,22 @@ def load_midi(fname: str, config: Optional[Config] = None) -> np.ndarray:
     # fname to the corpus directory itself, littering it with .npy files
     # (or crashing on read-only corpora) — review r4 finding.  Relative
     # paths (the standard data/<genre>/<composer> layout) are unchanged.
-    rel = os.path.splitdrive(fname)[1].lstrip(os.sep) \
-        if os.path.isabs(fname) else fname
-    # normpath + stripping any leading '..' segments keeps the key under
-    # cache_dir for relative traversals too ("../data/x.mid" would
-    # otherwise resolve outside it — same littering failure mode).
-    rel = os.path.normpath(rel)
+    # Escaped path segments ("/" roots and leading ".."s) become RESERVED
+    # key components instead of being dropped: dropping them aliases
+    # distinct sources onto one key ("../data/x.mid" vs "data/x.mid", or
+    # "/data/x.mid" vs "data/x.mid") and the mtime guard can then serve
+    # one file's roll for the other — review r4 finding.
+    rel = os.path.normpath(os.path.splitdrive(fname)[1])
+    parts = []
+    if os.path.isabs(fname):
+        parts.append("__abs__")
+        rel = rel.lstrip(os.sep)
     while rel.startswith(".." + os.sep) or rel == "..":
-        rel = rel[3:] if rel != ".." else ""
-    rel = rel.lstrip(os.sep) or "_root"
+        parts.append("__up__")
+        rel = "" if rel == ".." else rel[3:]
+    if rel:
+        parts.append(rel)
+    rel = os.path.join(*parts) if parts else "_root"
     cache_path = os.path.join(cfg.cache_dir, rel + ".npy")
     try:
         if os.path.getmtime(cache_path) <= os.path.getmtime(fname):

@@ -114,8 +114,14 @@ def lstm_scan(params: LSTMParams, xs: jax.Array,
 
     if kernel == "pallas":
         # The fused kernels implement sigmoid gates only; callers select
-        # kernel="xla" for other activations (DeepJ._kernel does).
-        assert recurrent_activation == "sigmoid", recurrent_activation
+        # kernel="xla" for other activations (DeepJ._kernel does).  A real
+        # exception, not an assert: under `python -O` an assert vanishes
+        # and a hard_sigmoid config would silently get sigmoid gates.
+        if recurrent_activation != "sigmoid":
+            raise ValueError(
+                f"kernel='pallas' implements sigmoid gates only, got "
+                f"recurrent_activation={recurrent_activation!r}; use "
+                f"kernel='xla'")
         from music_generator_tpu.ops.pallas_lstm import pallas_lstm_recurrence
         return pallas_lstm_recurrence(xw, params.recurrent, h0, c0, dt)
 

@@ -89,7 +89,11 @@ static bool parse_track(Reader r, std::vector<Event>* out) {
       uint32_t len = r.varlen();
       r.skip(len);
       out->push_back(ev);
-      if (ev.meta_type == 0x2F) return true;
+      // EndOfTrack closes the track, but only if everything up to and
+      // including it parsed cleanly (the varint/length reads above may
+      // have tripped r.ok) — the Python parser raises on the same bytes,
+      // and the two parsers must accept the identical file set.
+      if (ev.meta_type == 0x2F) return r.ok;
     } else if (status == 0xF0 || status == 0xF7) {
       running = 0;
       uint32_t len = r.varlen();

@@ -23,7 +23,7 @@ pytestmark = pytest.mark.slow
 tf = pytest.importorskip("tensorflow")
 
 
-def test_deterministic_trajectory_tracks_real_keras():
+def test_deterministic_trajectory_tracks_real_keras(tmp_path):
     from music_generator_tpu.config import default_config
     from tools.keras_train_parity import (
         real_corpus_batches,
@@ -38,7 +38,8 @@ def test_deterministic_trajectory_tracks_real_keras():
         transpose_augment=0, fast_dropout_rng=False)
     batches = real_corpus_batches(cfg, steps)
 
-    jax_losses, jax_params, init_h5 = run_jax(cfg, batches, steps)
+    jax_losses, jax_params, init_h5 = run_jax(cfg, batches, steps,
+                                              workdir=str(tmp_path))
     keras_losses, tf_vars = run_keras(cfg, init_h5, batches, steps)
 
     assert len(jax_losses) == len(keras_losses) == steps

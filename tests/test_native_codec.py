@@ -151,9 +151,35 @@ def test_load_midi_absolute_path_caches_under_cache_dir(tmp_path, monkeypatch):
     roll = load_midi(src, cfg)
     assert roll.shape[1:] == (128, 3)
     assert list(corpus.iterdir()) == [corpus / "a.mid"]   # no stray .npy
-    cached = os.path.join(cfg.cache_dir, src.lstrip(os.sep) + ".npy")
+    cached = os.path.join(cfg.cache_dir, "__abs__",
+                          src.lstrip(os.sep) + ".npy")
     assert os.path.exists(cached)
     np.testing.assert_array_equal(roll, load_midi(src, cfg))  # hit path
+
+
+def test_load_midi_cache_keys_do_not_alias_traversal_paths(tmp_path,
+                                                           monkeypatch):
+    """'../sub/x.mid' and 'sub/x.mid' are DIFFERENT files.  Dropping the
+    leading '..' from the cache key aliased them onto one entry, so the
+    freshly-written cache of one could be served as the other's roll
+    (review r4: the mtime guard sees a newer cache and hits)."""
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import load_midi
+    work = tmp_path / "work"
+    (tmp_path / "sub").mkdir()
+    (work / "sub").mkdir(parents=True)
+    cfg = default_config().replace(out_dir=str(work / "out"))
+    monkeypatch.chdir(work)
+    midi.write_midifile(str(tmp_path / "sub" / "x.mid"), _random_pattern(3))
+    midi.write_midifile("sub/x.mid", _random_pattern(7))
+    roll_up = load_midi(os.path.join("..", "sub", "x.mid"), cfg)
+    roll_rel = load_midi(os.path.join("sub", "x.mid"), cfg)
+    expected_rel = midi.midi_decode(midi.read_midifile("sub/x.mid"), 128)
+    np.testing.assert_array_equal(roll_rel, expected_rel)
+    expected_up = midi.midi_decode(
+        midi.read_midifile(str(tmp_path / "sub" / "x.mid")), 128)
+    np.testing.assert_array_equal(roll_up, expected_up)
+    assert roll_up.shape != roll_rel.shape or (roll_up != roll_rel).any()
 
 
 def test_load_midi_survives_unwritable_cache(tmp_path, monkeypatch):
@@ -253,7 +279,7 @@ def test_load_midi_relative_traversal_caches_under_cache_dir(tmp_path,
     cfg = default_config()          # out/cache relative to sub/
     roll = load_midi(os.path.join("..", "data", "x.mid"), cfg)
     assert roll.shape[1:] == (128, 3)
-    cached = os.path.join(cfg.cache_dir, "data", "x.mid.npy")
+    cached = os.path.join(cfg.cache_dir, "__up__", "data", "x.mid.npy")
     assert os.path.exists(cached)
     # Nothing escaped: the only .npy under tmp_path lives in sub/out/cache.
     strays = [p for p in tmp_path.rglob("*.npy")
@@ -293,6 +319,31 @@ def test_overlong_varint_rejected_by_both_parsers():
     if native.available():
         with pytest.raises(RuntimeError):
             native.native_decode_bytes(data)
+
+
+def test_bad_bytes_before_end_of_track_rejected_by_both_parsers():
+    """An EndOfTrack must not launder a failed read that precedes it: the
+    pre-fix native returned success from the 0x2F branch without checking
+    Reader.ok, so an overlong varint DELTA on the EndOfTrack event itself
+    (or a meta payload running past EOF) produced a roll where the Python
+    parser raises — parser-dependent corpus contents (review r4)."""
+    body = (bytes([0x00, 0x90, 60, 64])                # NoteOn at t=0
+            + bytes([0x81, 0x80, 0x80, 0x80, 0x00])    # 5-byte varint delta
+            + bytes([0xFF, 0x2F, 0x00]))               # ...on the EoT
+    data = _smf(body)
+    with pytest.raises(ValueError, match="4-byte bound"):
+        midi.read_midifile(io.BytesIO(data))
+    if native.available():
+        with pytest.raises(RuntimeError):
+            native.native_decode_bytes(data)
+    # Meta length past EOF on the EndOfTrack: same laundering hole.
+    body2 = bytes([0x00, 0x90, 60, 64, 0x00, 0xFF, 0x2F, 0x7F])
+    data2 = _smf(body2)
+    with pytest.raises(Exception):
+        midi.read_midifile(io.BytesIO(data2))
+    if native.available():
+        with pytest.raises(RuntimeError):
+            native.native_decode_bytes(data2)
 
 
 def test_frame_bound_rejected_by_both_decoders():

@@ -106,7 +106,11 @@ def real_corpus_batches(cfg, steps, seed=0):
         stage_real_corpus(cfg, root=tmp)
         styles = [[os.path.join(tmp, c) for c in genre]
                   for genre in cfg.styles]
-        ds = load_all(styles=styles, time_steps=cfg.seq_len, config=cfg)
+        # Point the decode cache INTO the temp dir: the staged paths are
+        # absolute and never repeat across runs, so caching under the
+        # repo's out/cache would grow it without bound for zero hits.
+        ds = load_all(styles=styles, time_steps=cfg.seq_len,
+                      config=cfg.replace(out_dir=os.path.join(tmp, "out")))
     n = ds.notes.shape[0]
     assert n >= cfg.batch_size, (n, cfg.batch_size)
     order = np.random.default_rng(seed).permutation(n)
@@ -180,9 +184,11 @@ def run_keras(cfg, init_h5, batches, steps, dropout=False, seed=0):
     return losses, final
 
 
-def run_jax(cfg, batches, steps, dropout=False, seed=0):
+def run_jax(cfg, batches, steps, dropout=False, seed=0, workdir=None):
     """Train with this framework's PRODUCTION step (parallel/train_step.py:
-    the same pjit step `python train.py` runs, on a 1-device CPU mesh)."""
+    the same pjit step `python train.py` runs, on a 1-device CPU mesh).
+    `workdir` (a caller-owned directory) holds the exported init h5 for
+    the deterministic phase."""
     import jax
 
     from music_generator_tpu.models.deepj import DeepJ
@@ -201,7 +207,8 @@ def run_jax(cfg, batches, steps, dropout=False, seed=0):
 
     init_h5 = None
     if not dropout:
-        init_h5 = os.path.join(tempfile.mkdtemp(), "init.h5")
+        assert workdir is not None, "deterministic phase needs a workdir"
+        init_h5 = os.path.join(workdir, "init.h5")
         save_keras_weights(state.params, init_h5)
 
     losses = []
@@ -212,37 +219,40 @@ def run_jax(cfg, batches, steps, dropout=False, seed=0):
     return losses, state.params, init_h5
 
 
-def compare_params(tf_vars, params):
+def compare_params(tf_vars, params, workdir=None):
     """Worst relative error between the TF variables and the JAX params
     after training, paired through the named-h5 export (the oracle's
     inner-name matching: 'lstm_1/kernel:0' ↔ a TF variable path containing
     'lstm_1/' and ending '/kernel'; '/kernel' cannot accidentally match
-    'recurrent_kernel')."""
+    'recurrent_kernel').  `workdir` is a caller-owned scratch directory
+    (a private TemporaryDirectory when omitted)."""
     import h5py
     import numpy as np
 
     from music_generator_tpu.training.keras_import import save_keras_weights
 
-    h5 = os.path.join(tempfile.mkdtemp(), "final.h5")
-    save_keras_weights(params, h5)
-    worst = (0.0, "")
-    n_checked = 0
-    with h5py.File(h5, "r") as f:
-        for group in f:
-            wnames = [x.decode() if isinstance(x, bytes) else str(x)
-                      for x in f[group].attrs["weight_names"]]
-            for wname in wnames:
-                jv = f[group][wname][()]
-                inner, part = wname.split(":")[0].rsplit("/", 1)
-                tname = next(k for k in tf_vars
-                             if f"{inner}/" in k and k.endswith("/" + part))
-                tv = tf_vars[tname]
-                assert tv.shape == jv.shape, (tname, tv.shape, jv.shape)
-                rel = float(np.max(np.abs(tv - jv))
-                            / (np.max(np.abs(jv)) + 1e-12))
-                n_checked += 1
-                if rel > worst[0]:
-                    worst = (rel, tname)
+    with tempfile.TemporaryDirectory() as own:
+        h5 = os.path.join(workdir or own, "final.h5")
+        save_keras_weights(params, h5)
+        worst = (0.0, "")
+        n_checked = 0
+        with h5py.File(h5, "r") as f:
+            for group in f:
+                wnames = [x.decode() if isinstance(x, bytes) else str(x)
+                          for x in f[group].attrs["weight_names"]]
+                for wname in wnames:
+                    jv = f[group][wname][()]
+                    inner, part = wname.split(":")[0].rsplit("/", 1)
+                    tname = next(k for k in tf_vars
+                                 if f"{inner}/" in k
+                                 and k.endswith("/" + part))
+                    tv = tf_vars[tname]
+                    assert tv.shape == jv.shape, (tname, tv.shape, jv.shape)
+                    rel = float(np.max(np.abs(tv - jv))
+                                / (np.max(np.abs(jv)) + 1e-12))
+                    n_checked += 1
+                    if rel > worst[0]:
+                        worst = (rel, tname)
     assert n_checked == 28, n_checked
     return worst
 
@@ -284,8 +294,12 @@ def main(argv=None):
     }
 
     # --- phase 1: deterministic trajectory (dropout 0) --------------------
+    # One scratch dir owns every intermediate h5 (init export, the param
+    # comparison's re-export) so nothing leaks into /tmp across runs.
+    work_ctx = tempfile.TemporaryDirectory()
     t0 = time.time()
-    jax_losses, jax_params, init_h5 = run_jax(cfg, batches, args.steps)
+    jax_losses, jax_params, init_h5 = run_jax(cfg, batches, args.steps,
+                                              workdir=work_ctx.name)
     t1 = time.time()
     keras_losses, tf_vars = run_keras(cfg, init_h5, batches, args.steps)
     t2 = time.time()
@@ -340,6 +354,7 @@ def main(argv=None):
               f"(rel gap {gap:.2%})")
         assert gap < 0.15, gap
 
+    work_ctx.cleanup()
     if not args.no_artifact:
         os.makedirs(args.out, exist_ok=True)
         path = os.path.join(args.out, "REPORT.json")
