@@ -29,7 +29,11 @@ Two phases:
    dropout RNG; the smoothed loss trajectories must agree statistically.
    This is the experiment whose answer the verdict wanted: the two
    frameworks' TRAINING DYNAMICS, not just their gradients, match on real
-   music.
+   music.  Reproducibility note: phase 1 and the JAX phase-2 curve
+   regenerate byte-identically across invocations; TF's in-graph dropout
+   RNG is not process-reproducible, so the Keras phase-2 curve (and the
+   tail gap, observed 0.14-0.40%) varies per run — which is why phase 2's
+   claim is statistical and its bound loose.
 
 Run from /root/repo (CPU; TF is CPU-only in this image — keep the TPU
 detached with JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=):
