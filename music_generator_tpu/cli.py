@@ -172,11 +172,9 @@ def generate_main(argv=None) -> None:
     if prime is not None and not args.continuation_only:
         # Write the full piece: the (clamped) prime followed by the
         # generated continuation, for every stream.
-        full = np.concatenate(
-            [np.broadcast_to(prime[None].astype(np.float32),
-                             (result.notes.shape[0],) + prime.shape),
-             result.notes], axis=1)
-        result = type(result)(notes=full, styles=result.styles)
+        from music_generator_tpu.generation.sampler import prepend_prime
+        result = type(result)(notes=prepend_prime(result.notes, prime),
+                              styles=result.styles)
     write_file(args.out, result, cfg)
 
 

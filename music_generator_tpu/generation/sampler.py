@@ -412,7 +412,8 @@ class Sampler:
                  temperature: Optional[float] = None,
                  stream_offset: int = 0,
                  pad_to: Optional[int] = None,
-                 prime: Optional[np.ndarray] = None) -> GenerationResult:
+                 prime: Optional[np.ndarray] = None,
+                 pad_partial_chunk: bool = False) -> GenerationResult:
         """Generate `num_bars` bars for each style mixture, entirely
         on-device (ref: generate.py:98-121's API, minus the host loop).
 
@@ -442,8 +443,28 @@ class Sampler:
         it (no sampling, no randomness consumed), then `num_bars` bars are
         generated starting at absolute step T_p.  The result contains the
         continuation only — callers concatenate the prime back if they want
-        the full piece (cli.generate_main does)."""
+        the full piece (`prepend_prime`; cli.generate_main does).
+
+        `pad_partial_chunk`: run the final partial chunk at the FULL
+        chunk length and slice the surplus steps off.  Byte-identical
+        output (the scan is causal and deviation #10's uniforms are
+        indexed by absolute step, so a kept prefix is unaffected by how
+        far past it the scan ran) at the cost of up to chunk_bars-1 bars
+        of discarded compute — worth it wherever a compile stalls the
+        caller: _chunk_jit's step count is STATIC, so every distinct tail
+        length is otherwise its own multi-minute relay compile (serving
+        always opts in; pinned by
+        test_generation.py::test_pad_partial_chunk_is_byte_identical)."""
         cfg = self.cfg
+        if not styles:
+            # `styles[-1]` in the pad expression below would otherwise
+            # raise an opaque IndexError (review r4).
+            raise ValueError("at least one style mixture is required")
+        if not 0 <= int(seed) < 2 ** 32:
+            # jnp.uint32(seed) under NumPy 2 raises OverflowError for
+            # out-of-range ints — surface the contract as a ValueError the
+            # CLI prints cleanly and serving maps to HTTP 400 (review r4).
+            raise ValueError(f"seed must be in [0, 2**32), got {seed}")
         G_real = len(styles)
         styles = list(styles)
         pad_mult = pad_to or 1
@@ -466,8 +487,12 @@ class Sampler:
             # dereferences None (review r4: `--bars -1` raised an opaque
             # TypeError; serving clamps independently, the CLI doesn't).
             raise ValueError(f"num_bars must be >= 0, got {num_bars}")
-        num_steps = cfg.notes_per_bar * num_bars
-        chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
+        gen_steps = cfg.notes_per_bar * num_bars
+        num_steps = gen_steps
+        if pad_partial_chunk:
+            chunk = cfg.notes_per_bar * chunk_bars
+        else:
+            chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
         temp = self.default_temp if temperature is None else float(temperature)
         state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp,
                                  stream_offset)
@@ -506,7 +531,7 @@ class Sampler:
         t = prime_steps
         num_steps += prime_steps
         while t < num_steps:
-            n = min(chunk, num_steps - t)
+            n = chunk if pad_partial_chunk else min(chunk, num_steps - t)
             state, out = self._chunk_jit(self.params, style_emb, state, n,
                                          jnp.int32(t))
             if pending is not None:
@@ -516,8 +541,21 @@ class Sampler:
             t += n
         pieces.append(self._assemble(np.asarray(pending[0]),
                                      np.asarray(pending[1])))
-        return GenerationResult(np.concatenate(pieces, axis=1)[:G_real],
-                                np.asarray(styles_arr)[:G_real])
+        notes = np.concatenate(pieces, axis=1)[:G_real, :gen_steps]
+        return GenerationResult(notes, np.asarray(styles_arr)[:G_real])
+
+
+def prepend_prime(notes: np.ndarray, prime: np.ndarray) -> np.ndarray:
+    """Full-piece view of a primed generation: the (clamped) prime followed
+    by the continuation, per stream.  A 3-d prime (shared by all streams)
+    broadcasts across the batch; a 4-d prime is per-stream already.  One
+    implementation serves both the CLI and serving (review r4: the two
+    surfaces had drifted-prone copies)."""
+    prime = np.asarray(prime, np.float32)
+    if prime.ndim == 3:
+        prime = np.broadcast_to(prime[None],
+                                (notes.shape[0],) + prime.shape)
+    return np.concatenate([prime, notes], axis=1)
 
 
 def write_file(name: str, result: GenerationResult,

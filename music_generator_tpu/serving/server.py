@@ -3,9 +3,13 @@
 No reference counterpart (the reference is a research CLI); this is the
 deployment story for the TPU build.  Design points:
 
-  * The sampler compiles once per (num_generations, chunk) signature at
-    startup warmup; requests reuse the cached executables (the chunked
-    sampler means any --bars length hits the same program).
+  * One executable per power-of-two batch bucket: serving always runs
+    full-length chunks (`pad_partial_chunk` — the surplus steps are
+    sliced off, byte-identically), so ANY `bars` value reuses the bucket's
+    cached program.  Startup warmup compiles the bucket-1 executable —
+    the exact program every single-piece request runs; larger buckets
+    compile once on their first /generate_batch use (at most
+    log2(max_batch)+1 programs ever exist).
   * Single-threaded model execution (one TPU program at a time) behind a
     lock; the stdlib ThreadingHTTPServer handles concurrent connections.
   * Stateless API: POST /generate with JSON → standard MIDI file bytes.
@@ -168,18 +172,21 @@ class GenerationService:
         bucket = min(bucket, self.max_batch)     # G <= max_batch, so >= G
         padded = styles + [styles[-1]] * (bucket - G)
         with self._lock:
+            # pad_partial_chunk: a request whose bars don't divide the
+            # chunk must reuse the full-chunk executable (sliced,
+            # byte-identical) rather than compile a tail-length program
+            # for minutes WITH THE LOCK HELD (review r4).
             result = self._sampler.generate(padded, num_bars=bars,
                                             seed=int(seed),
                                             temperature=temperature,
-                                            prime=prime)
-        notes = result.notes
+                                            prime=prime,
+                                            pad_partial_chunk=True)
+        notes = result.notes[:G]      # drop bucket-pad rows before any copy
         if (prime is not None and prime.shape[0] > 0
                 and not continuation_only):
             # Default primed response = prime + continuation, like the CLI.
-            notes = np.concatenate(
-                [np.broadcast_to(prime[None].astype(np.float32),
-                                 (notes.shape[0],) + prime.shape), notes],
-                axis=1)
+            from music_generator_tpu.generation.sampler import prepend_prime
+            notes = prepend_prime(notes, prime)
         out = []
         for i in range(G):
             pattern = midi_encode(unclamp_midi(notes[i], cfg),
@@ -216,6 +223,15 @@ def make_handler(service: GenerationService):
         def do_POST(self):
             if self.path not in ("/generate", "/generate_batch"):
                 self._json(404, {"error": "unknown path"})
+                return
+            if self.headers.get("Transfer-Encoding"):
+                # A chunked body would otherwise read as length-0 → a 200
+                # with DEFAULT parameters, and the unread chunk frames
+                # corrupt the keep-alive stream (review r4).  411 = length
+                # required.
+                self._json(411, {"error": "Transfer-Encoding not "
+                                          "supported; send Content-Length"})
+                self.close_connection = True
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))

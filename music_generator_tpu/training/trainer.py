@@ -220,47 +220,53 @@ class Trainer:
             # only its [S, B] shuffled index matrix.
             resident = tuple(jax.device_put(a, repl) for a in ds_arrays)
 
-        for epoch in range(epochs):
-            t0 = time.perf_counter()
-            if use_scan:
-                perm = epoch_permutation(len(ds), batch_size, rng,
-                                         drop_remainder=False)
-                epoch_losses = self._scan_epoch(resident,
-                                                perm.astype(np.int32), logger)
-            else:
-                epoch_losses = self._stream_epoch(ds, batch_size, rng, epoch,
-                                                  logger, meter)
+        # finally: an exception mid-training (OOM, interrupt, checkpoint IO)
+        # must still close the metrics/TensorBoard writers — repeated fit()
+        # attempts in one process otherwise accumulate open handles.
+        try:
+            for epoch in range(epochs):
+                t0 = time.perf_counter()
+                if use_scan:
+                    perm = epoch_permutation(len(ds), batch_size, rng,
+                                             drop_remainder=False)
+                    epoch_losses = self._scan_epoch(
+                        resident, perm.astype(np.int32), logger)
+                else:
+                    epoch_losses = self._stream_epoch(ds, batch_size, rng,
+                                                      epoch, logger, meter)
 
-            epoch_loss = float(np.mean(epoch_losses))
-            history["loss"].append(epoch_loss)
-            history["steps_per_epoch"].append(len(epoch_losses))
-            dt = time.perf_counter() - t0
-            history["epoch_seconds"].append(dt)
-            rate = len(epoch_losses) * global_batch * ds.notes.shape[1] / dt
-            print(f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.4f} "
-                  f"({dt:.1f}s, {rate:.0f} timesteps/s)")
-            logger.log(epoch + 1, {"epoch_loss": epoch_loss}, prefix="epoch")
-            if (tc.tensorboard and tc.histogram_freq
-                    and (epoch + 1) % tc.histogram_freq == 0):
-                self._log_param_histograms(logger, epoch + 1)
+                epoch_loss = float(np.mean(epoch_losses))
+                history["loss"].append(epoch_loss)
+                history["steps_per_epoch"].append(len(epoch_losses))
+                dt = time.perf_counter() - t0
+                history["epoch_seconds"].append(dt)
+                rate = (len(epoch_losses) * global_batch
+                        * ds.notes.shape[1] / dt)
+                print(f"epoch {epoch + 1}/{epochs} loss={epoch_loss:.4f} "
+                      f"({dt:.1f}s, {rate:.0f} timesteps/s)")
+                logger.log(epoch + 1, {"epoch_loss": epoch_loss},
+                           prefix="epoch")
+                if (tc.tensorboard and tc.histogram_freq
+                        and (epoch + 1) % tc.histogram_freq == 0):
+                    self._log_param_histograms(logger, epoch + 1)
 
-            # Best-only checkpoint + early stop, both on TRAIN loss
-            # (ref: train.py:23-24 monitors 'loss', not val_loss).
-            if epoch_loss < best_loss:
-                best_loss = epoch_loss
-                bad_epochs = 0
-                if self.store is not None:
-                    self.store.save(self.state)
-            else:
-                bad_epochs += 1
-                # Keras-2 EarlyStopping stops when wait >= patience
-                # (ref: train.py:24, patience=5) — not strictly greater.
-                if bad_epochs >= patience:
-                    print(f"early stopping (no improvement for "
-                          f"{bad_epochs} epochs)")
-                    break
-
-        logger.close()
+                # Best-only checkpoint + early stop, both on TRAIN loss
+                # (ref: train.py:23-24 monitors 'loss', not val_loss).
+                if epoch_loss < best_loss:
+                    best_loss = epoch_loss
+                    bad_epochs = 0
+                    if self.store is not None:
+                        self.store.save(self.state)
+                else:
+                    bad_epochs += 1
+                    # Keras-2 EarlyStopping stops when wait >= patience
+                    # (ref: train.py:24, patience=5) — not strictly greater.
+                    if bad_epochs >= patience:
+                        print(f"early stopping (no improvement for "
+                              f"{bad_epochs} epochs)")
+                        break
+        finally:
+            logger.close()
         return history
 
     def _scan_epoch(self, resident, perm, logger: MetricLogger) -> np.ndarray:

@@ -456,3 +456,50 @@ def test_compact_transfer_same_midi_bytes():
     np.testing.assert_array_equal(compact.notes[..., 2], expect)
     for i in range(3):
         assert _mid_bytes(raw.notes[i]) == _mid_bytes(compact.notes[i]), i
+
+
+def test_pad_partial_chunk_is_byte_identical(sampler):
+    """pad_partial_chunk runs the final chunk at FULL length and slices the
+    surplus — serving's one-executable-per-bucket guarantee rests on the
+    sliced output being byte-equal to the exact-length run (the scan is
+    causal; deviation #10's uniforms are indexed by absolute step)."""
+    styles = [compute_genre(0, CFG), compute_genre(1, CFG)]
+    exact = sampler.generate(styles, num_bars=3, seed=5, chunk_bars=2)
+    padded = sampler.generate(styles, num_bars=3, seed=5, chunk_bars=2,
+                              pad_partial_chunk=True)
+    assert padded.notes.shape == exact.notes.shape
+    np.testing.assert_array_equal(exact.notes, padded.notes)
+    # With a prime whose length leaves a mid-chunk generation tail too.
+    prime = exact.notes[:, :CFG.notes_per_bar // 2]
+    e2 = sampler.generate(styles, num_bars=1, seed=5, chunk_bars=2,
+                          prime=prime)
+    p2 = sampler.generate(styles, num_bars=1, seed=5, chunk_bars=2,
+                          prime=prime, pad_partial_chunk=True)
+    np.testing.assert_array_equal(e2.notes, p2.notes)
+
+
+def test_out_of_range_seed_rejected(sampler):
+    """jnp.uint32 would raise an opaque OverflowError under NumPy 2 for
+    seeds outside [0, 2^32); the sampler surfaces the contract as a
+    ValueError that the CLI prints cleanly and serving maps to HTTP 400."""
+    styles = [compute_genre(0, CFG)]
+    for bad in (-1, 2 ** 32):
+        with pytest.raises(ValueError, match="seed"):
+            sampler.generate(styles, num_bars=1, seed=bad)
+
+
+def test_empty_styles_rejected(sampler):
+    with pytest.raises(ValueError, match="style mixture"):
+        sampler.generate([], num_bars=1)
+
+
+def test_prepend_prime_shared_and_per_stream():
+    from music_generator_tpu.generation.sampler import prepend_prime
+    notes = np.zeros((3, 4, CFG.num_notes, 3), np.float32)
+    shared = np.ones((2, CFG.num_notes, 3), np.float32)
+    full = prepend_prime(notes, shared)
+    assert full.shape == (3, 6, CFG.num_notes, 3)
+    np.testing.assert_array_equal(full[:, :2], 1.0)
+    per_stream = np.stack([shared * (i + 1) for i in range(3)])
+    full2 = prepend_prime(notes, per_stream)
+    np.testing.assert_array_equal(full2[2, :2], 3.0)

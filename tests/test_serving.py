@@ -237,3 +237,31 @@ def test_concurrent_requests_serialize_correctly(server):
     assert not errors, errors
     for s in seeds:
         assert results[s] == expected[s]
+
+
+def test_out_of_range_seed_is_http_400(server):
+    """seed=-1 used to escape do_POST's caught-exception tuple as an
+    OverflowError and reset the connection; the sampler now raises
+    ValueError, which the handler maps to a clean 400 (review r4)."""
+    for bad_seed in (-1, 2 ** 32):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, {"genre": 0, "bars": 1, "seed": bad_seed})
+        assert e.value.code == 400
+        assert "seed" in json.loads(e.value.read())["error"]
+
+
+def test_chunked_transfer_encoding_rejected(server):
+    """A chunked body must not silently read as empty (a 200 with DEFAULT
+    parameters — wrong output for the client's request — plus unread chunk
+    frames corrupting the keep-alive stream): the server answers 411 and
+    closes the connection (review r4)."""
+    import socket
+    host, port = server.rsplit("//", 1)[1].split(":")
+    body = json.dumps({"genre": 1, "bars": 1}).encode()
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(b"POST /generate HTTP/1.1\r\nHost: t\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n"
+                  + hex(len(body))[2:].encode() + b"\r\n" + body
+                  + b"\r\n0\r\n\r\n")
+        resp = s.recv(4096)
+    assert b"411" in resp.split(b"\r\n", 1)[0]
