@@ -230,20 +230,39 @@ class Sampler:
 
     # -- whole piece -------------------------------------------------------
 
-    def _init_state(self, G: int, seed, temperature: float,
-                    stream_offset: int = 0) -> StepState:
+    def _init_state(self, G: int, seed, temperature,
+                    stream_offset: int = 0,
+                    seeds: Optional[np.ndarray] = None,
+                    stream_indices: Optional[np.ndarray] = None) -> StepState:
         cfg = self.cfg
         # Stream g's key is fold_in(key(seed), stream_offset + g): a global
         # per-stream identity, so the uniforms (and hence the bytes) of a
         # stream never depend on which batch it rides in (deviation #10).
-        idx = jnp.arange(stream_offset, stream_offset + G, dtype=jnp.uint32)
-        stream_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            jax.random.key(seed), idx)
+        # `seeds`/`stream_indices` override the per-stream (seed, index)
+        # pair individually — the coalescing hook: fold_in(key(seeds[g]),
+        # indices[g]) is computed per element, so a stream's key (and bytes)
+        # equal the solo run of that (seed, index) no matter what else rides
+        # in the batch.
+        if stream_indices is None:
+            idx = jnp.arange(stream_offset, stream_offset + G,
+                             dtype=jnp.uint32)
+        else:
+            idx = jnp.asarray(stream_indices, jnp.uint32)
+        if seeds is None:
+            stream_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.key(seed), idx)
+        else:
+            stream_keys = jax.vmap(
+                lambda s, i: jax.random.fold_in(jax.random.key(s), i))(
+                    jnp.asarray(seeds, jnp.uint32), idx)
+        # Scalar or per-stream [G] temperature; one strong-f32 construction
+        # for both cases so every caller shares one compiled signature.
+        temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (G,))
         return StepState(
             time_state=self.model.init_time_state(G),
             prev_note=jnp.zeros((G, cfg.num_notes, cfg.note_units)),
-            temperature=jnp.full((G,), temperature),
-            base_temp=jnp.full((G,), temperature),
+            temperature=temp,
+            base_temp=temp,
             # A fresh generation counts as already silent for a bar
             # (ref: generate.py:24 inits silent_time = NOTES_PER_BAR).
             silent_time=jnp.full((G,), cfg.notes_per_bar, jnp.int32),
@@ -409,11 +428,14 @@ class Sampler:
 
     def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
                  seed: int = 0, chunk_bars: int = 8,
-                 temperature: Optional[float] = None,
+                 temperature=None,
                  stream_offset: int = 0,
                  pad_to: Optional[int] = None,
                  prime: Optional[np.ndarray] = None,
-                 pad_partial_chunk: bool = False) -> GenerationResult:
+                 pad_partial_chunk: bool = False,
+                 seeds: Optional[Sequence[int]] = None,
+                 stream_indices: Optional[Sequence[int]] = None,
+                 ) -> GenerationResult:
         """Generate `num_bars` bars for each style mixture, entirely
         on-device (ref: generate.py:98-121's API, minus the host loop).
 
@@ -454,7 +476,18 @@ class Sampler:
         caller: _chunk_jit's step count is STATIC, so every distinct tail
         length is otherwise its own multi-minute relay compile (serving
         always opts in; pinned by
-        test_generation.py::test_pad_partial_chunk_is_byte_identical)."""
+        test_generation.py::test_pad_partial_chunk_is_byte_identical).
+
+        `seeds` / `stream_indices` / a per-stream `temperature` sequence
+        give each stream its OWN (seed, global index, temperature) triple
+        — the coalescing hook behind serving's dynamic request batching:
+        stream g's bytes equal the solo run
+        `generate([styles[g]], seed=seeds[g], stream_offset=indices[g],
+        temperature=temps[g])` exactly (deviation #10 keys are computed
+        per element; the adaptive-temperature machine is per-stream
+        already), so heterogeneous requests can share one device call
+        byte-transparently.  Each must have len(styles) entries; both
+        default to the homogeneous `seed` / `stream_offset + g` scheme."""
         cfg = self.cfg
         if not styles:
             # `styles[-1]` in the pad expression below would otherwise
@@ -473,6 +506,26 @@ class Sampler:
                            int(np.prod(self.mesh.devices.shape)))
         pad = (-G_real) % pad_mult
         styles = styles + [styles[-1]] * pad
+
+        def _per_stream(vals, name, dtype, lo=None, hi=None):
+            """Validate + pad a per-stream sequence (pad rows repeat the
+            last real stream, like the styles — they're sliced off)."""
+            vals = [dtype(v) for v in vals]
+            if len(vals) != G_real:
+                raise ValueError(f"{name} must have one entry per style "
+                                 f"mixture ({G_real}), got {len(vals)}")
+            for v in vals:
+                if lo is not None and not lo <= v < hi:
+                    raise ValueError(
+                        f"each {name} entry must be in [{lo}, {hi}), got {v}")
+            return np.asarray(vals + [vals[-1]] * pad)
+
+        if seeds is not None:
+            seeds = _per_stream(seeds, "seeds", int, 0, 2 ** 32).astype(
+                np.uint32)
+        if stream_indices is not None:
+            stream_indices = _per_stream(stream_indices, "stream_indices",
+                                         int, 0, 2 ** 32).astype(np.uint32)
         styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -493,9 +546,16 @@ class Sampler:
             chunk = cfg.notes_per_bar * chunk_bars
         else:
             chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
-        temp = self.default_temp if temperature is None else float(temperature)
+        if temperature is None:
+            temp = self.default_temp
+        elif np.ndim(temperature) == 0:
+            temp = float(temperature)
+        else:
+            temp = _per_stream(temperature, "temperature", float).astype(
+                np.float32)
         state = self._init_state(styles_arr.shape[0], jnp.uint32(seed), temp,
-                                 stream_offset)
+                                 stream_offset, seeds=seeds,
+                                 stream_indices=stream_indices)
         prime_steps = 0
         if prime is not None and prime.shape[-3] > 0:
             prime = np.asarray(prime, np.float32)

@@ -12,6 +12,12 @@ deployment story for the TPU build.  Design points:
     log2(max_batch)+1 programs ever exist).
   * Single-threaded model execution (one TPU program at a time) behind a
     lock; the stdlib ThreadingHTTPServer handles concurrent connections.
+  * Dynamic request coalescing: concurrent /generate requests that queue
+    up while the device is busy run as ONE batched device call (the
+    sampler's per-stream (seed, index, temperature) triples — deviation
+    #10 — make every coalesced response byte-equal to its solo run, so
+    batching is invisible to clients).  Sequential traffic degrades to
+    the direct path; disable with dynamic_batch=False / --no-dynamic-batch.
   * Stateless API: POST /generate with JSON → standard MIDI file bytes.
 
 API:
@@ -45,11 +51,28 @@ from music_generator_tpu.models.deepj import DeepJ
 from music_generator_tpu.utils import one_hot
 
 
+class _Pending:
+    """One enqueued /generate request awaiting a coalesced device call."""
+
+    __slots__ = ("mixture", "bars", "seed", "temperature", "done", "result",
+                 "error")
+
+    def __init__(self, mixture, bars: int, seed: int, temperature: float):
+        self.mixture = mixture
+        self.bars = bars
+        self.seed = seed
+        self.temperature = temperature
+        self.done = threading.Event()
+        self.result: Optional[bytes] = None
+        self.error: Optional[Exception] = None
+
+
 class GenerationService:
     """Model + sampler with a serialized-execution lock."""
 
     def __init__(self, config: Optional[Config] = None, params=None,
-                 warmup: bool = True, max_batch: int = 64):
+                 warmup: bool = True, max_batch: int = 64,
+                 dynamic_batch: bool = True):
         # Batch cap: each power-of-two bucket up to it compiles one
         # executable (minutes through this box's relay), so the default
         # stays at BASELINE config 4's 64; throughput-oriented deployments
@@ -58,6 +81,19 @@ class GenerationService:
         if int(max_batch) < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.max_batch = int(max_batch)
+        # Dynamic request coalescing: concurrent /generate requests that
+        # arrive while the device is busy batch into ONE device call (the
+        # leader drains the queue under the execution lock).  Byte-
+        # transparent: deviation #10's per-stream (seed, index) keys + the
+        # per-stream adaptive-temperature carry mean a coalesced piece's
+        # bytes equal its solo run exactly, whatever else rides along
+        # (tests/test_serving.py::test_coalesced_responses_match_solo).
+        self.dynamic_batch = bool(dynamic_batch)
+        self._pending: list = []
+        self._pending_lock = threading.Lock()
+        # Instrumentation: device calls made (coalescing visible as
+        # device_calls < requests served; tools/bench_serving.py reports it).
+        self.device_calls = 0
         self.cfg = config or default_config()
         self.model = DeepJ(self.cfg)
         if params is None:
@@ -129,12 +165,100 @@ class GenerationService:
     def generate(self, mixture=None, bars: int = 8, seed: int = 0,
                  temperature: float = 1.0, prime=None,
                  continuation_only: bool = False) -> bytes:
-        """Generate one piece and return .mid file bytes."""
+        """Generate one piece and return .mid file bytes.
+
+        With dynamic batching on (the default), concurrent non-primed
+        requests coalesce into one device call — each response still
+        byte-equal to its solo run.  Primed requests keep the direct path
+        (the teacher-forcing advance is per-request device work)."""
         if mixture is None:
             mixture = compute_genre(0, self.cfg)
+        if self.dynamic_batch and prime is None:
+            return self._coalesced(mixture, bars=bars, seed=seed,
+                                   temperature=temperature)
         return self.generate_batch([mixture], bars=bars, seed=seed,
                                    temperature=temperature, prime=prime,
                                    continuation_only=continuation_only)[0]
+
+    def _coalesced(self, mixture, bars: int, seed: int,
+                   temperature: float) -> bytes:
+        """Enqueue one request and run the leader/follower protocol: the
+        first thread to win the execution lock drains the whole queue into
+        ONE sampler call (heterogeneous seeds/bars/temperatures — the
+        sampler's per-stream (seed, index, temperature) triples keep every
+        piece byte-equal to its solo run); the rest find their result
+        already filled when they get the lock.  Under sequential traffic
+        the queue always holds exactly one request and this degrades to
+        the direct path (plus one Event)."""
+        # Validate HERE so a bad request fails its own caller before it can
+        # poison a shared batch (the same rules generate_batch applies).
+        bars = max(1, min(int(bars), 4096))
+        temperature = float(temperature)
+        if not 0.0 < temperature <= 100.0:
+            raise ValueError("temperature must be in (0, 100]")
+        seed = int(seed)
+        if not 0 <= seed < 2 ** 32:
+            raise ValueError(f"seed must be in [0, 2**32), got {seed}")
+        req = _Pending(np.asarray(mixture, np.float32), bars, seed,
+                       temperature)
+        with self._pending_lock:
+            self._pending.append(req)
+        while not req.done.is_set():
+            with self._lock:
+                if not req.done.is_set():
+                    self._run_pending_locked()
+            # A queue longer than max_batch leaves later requests pending;
+            # loop — each leader pass strictly drains up to max_batch.
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _bucket(self, G: int) -> int:
+        """Power-of-two executable bucket for a batch of G (capped at
+        max_batch, which joins as the top bucket when not a power of two)."""
+        bucket = 1
+        while bucket < G:
+            bucket *= 2
+        return min(bucket, self.max_batch)
+
+    def _encode_midi(self, roll: np.ndarray) -> bytes:
+        pattern = midi_encode(unclamp_midi(roll, self.cfg), config=self.cfg)
+        buf = io.BytesIO()
+        write_midifile(buf, pattern)
+        return buf.getvalue()
+
+    def _run_pending_locked(self) -> None:
+        """Serve up to max_batch queued requests in one device call.
+        Caller must hold self._lock."""
+        with self._pending_lock:
+            batch = self._pending[:self.max_batch]
+            del self._pending[:len(batch)]
+        if not batch:
+            return
+        try:
+            # Every coalesced piece is "stream 0 of seed s at temperature t"
+            # — exactly the solo /generate identity — generated to the
+            # longest request's bars and sliced to its own (a kept prefix
+            # is byte-unaffected by how far past it the scan ran: causal
+            # scan + absolute-step-indexed uniforms).
+            bars_max = max(r.bars for r in batch)
+            result = self._sampler.generate(
+                [r.mixture for r in batch], num_bars=bars_max,
+                seeds=[r.seed for r in batch],
+                stream_indices=[0] * len(batch),
+                temperature=[r.temperature for r in batch],
+                pad_to=self._bucket(len(batch)),
+                pad_partial_chunk=True)
+            self.device_calls += 1
+            spb = self.cfg.notes_per_bar
+            for i, r in enumerate(batch):
+                r.result = self._encode_midi(result.notes[i, :r.bars * spb])
+        except Exception as e:
+            for r in batch:
+                r.error = e
+        finally:
+            for r in batch:
+                r.done.set()
 
     def generate_batch(self, mixtures, bars: int = 8, seed: int = 0,
                        temperature: float = 1.0, prime=None,
@@ -148,7 +272,6 @@ class GenerationService:
         the power-of-two bucket, mesh padding, and what else rides in the
         request — so responses reproduce across deployments with
         different device counts and batch caps."""
-        cfg = self.cfg
         if not mixtures or len(mixtures) > self.max_batch:
             raise ValueError(f"1..{self.max_batch} mixtures per request")
         bars = max(1, min(int(bars), 4096))
@@ -166,35 +289,28 @@ class GenerationService:
         # make the bytes independent of the bucket and of any
         # mesh-divisibility pad the sampler adds on multi-chip hosts.
         G = len(styles)
-        bucket = 1
-        while bucket < G:
-            bucket *= 2
-        bucket = min(bucket, self.max_batch)     # G <= max_batch, so >= G
-        padded = styles + [styles[-1]] * (bucket - G)
         with self._lock:
             # pad_partial_chunk: a request whose bars don't divide the
             # chunk must reuse the full-chunk executable (sliced,
             # byte-identical) rather than compile a tail-length program
-            # for minutes WITH THE LOCK HELD (review r4).
-            result = self._sampler.generate(padded, num_bars=bars,
+            # for minutes WITH THE LOCK HELD (review r4).  pad_to: the
+            # power-of-two bucket (G <= max_batch, so bucket >= G); the
+            # sampler pads with copies of the last mixture and slices
+            # them back off.
+            result = self._sampler.generate(styles, num_bars=bars,
                                             seed=int(seed),
                                             temperature=temperature,
                                             prime=prime,
+                                            pad_to=self._bucket(G),
                                             pad_partial_chunk=True)
-        notes = result.notes[:G]      # drop bucket-pad rows before any copy
+            self.device_calls += 1
+        notes = result.notes
         if (prime is not None and prime.shape[0] > 0
                 and not continuation_only):
             # Default primed response = prime + continuation, like the CLI.
             from music_generator_tpu.generation.sampler import prepend_prime
             notes = prepend_prime(notes, prime)
-        out = []
-        for i in range(G):
-            pattern = midi_encode(unclamp_midi(notes[i], cfg),
-                                  config=cfg)
-            buf = io.BytesIO()
-            write_midifile(buf, pattern)
-            out.append(buf.getvalue())
-        return out
+        return [self._encode_midi(notes[i]) for i in range(G)]
 
 
 def make_handler(service: GenerationService):
@@ -317,6 +433,11 @@ def serve_main(argv=None) -> None:
                              "power-of-two bucket up to it compiles one "
                              "executable; raise for throughput-oriented "
                              "serving — docs/PERFORMANCE.md)")
+    parser.add_argument("--no-dynamic-batch", action="store_true",
+                        help="disable coalescing of concurrent /generate "
+                             "requests into one device call (responses "
+                             "are byte-identical either way; this only "
+                             "trades throughput for per-request isolation)")
     args = parser.parse_args(argv)
 
     from music_generator_tpu.utils.compile_cache import enable
@@ -331,7 +452,8 @@ def serve_main(argv=None) -> None:
         params = load_keras_weights(args.from_keras, cfg)
         print(f"Loaded Keras weights from {args.from_keras}")
     service = GenerationService(config=cfg, params=params,
-                                max_batch=args.max_batch)
+                                max_batch=args.max_batch,
+                                dynamic_batch=not args.no_dynamic_batch)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(service))
     print(f"serving on http://{args.host}:{args.port}")

@@ -210,6 +210,45 @@ def test_stream_rng_shape_and_composition_invariance():
         assert _mid_bytes(meshed.notes[i]) == ref_bytes[i], f"mesh {i}"
 
 
+def test_per_stream_triples_match_solo_runs(sampler):
+    """The coalescing hook: per-stream (seed, index, temperature) triples
+    make a heterogeneous batch byte-equal, stream by stream, to the solo
+    runs of those triples — the property serving's dynamic request
+    batching rests on.  Includes the bars slice: a stream generated to the
+    batch's max bars, cut at its own length, equals its solo run at that
+    length (causal scan + absolute-step uniforms)."""
+    styles = [compute_genre(i % 3, CFG) for i in range(3)]
+    seeds = [5, 9, 5]
+    temps = [1.0, 0.8, 1.3]
+    co = sampler.generate(styles, num_bars=2, seeds=seeds,
+                          stream_indices=[0, 0, 0], temperature=temps,
+                          pad_to=4, pad_partial_chunk=True)
+    spb = CFG.notes_per_bar
+    for i in range(3):
+        solo = sampler.generate([styles[i]], num_bars=2, seed=seeds[i],
+                                temperature=temps[i])
+        assert _mid_bytes(co.notes[i]) == _mid_bytes(solo.notes[0]), f"s{i}"
+        short = sampler.generate([styles[i]], num_bars=1, seed=seeds[i],
+                                 temperature=temps[i])
+        assert (_mid_bytes(co.notes[i, :spb])
+                == _mid_bytes(short.notes[0])), f"prefix {i}"
+    # Streams 0 and 2 share (seed, index) but not temperature — they must
+    # differ; with ALL coordinates equal they would be identical streams.
+    assert _mid_bytes(co.notes[0]) != _mid_bytes(co.notes[2])
+
+
+def test_per_stream_validation(sampler):
+    styles = [compute_genre(0, CFG), compute_genre(1, CFG)]
+    with pytest.raises(ValueError, match="seeds"):
+        sampler.generate(styles, num_bars=1, seeds=[1])
+    with pytest.raises(ValueError, match="seeds"):
+        sampler.generate(styles, num_bars=1, seeds=[1, 2 ** 32])
+    with pytest.raises(ValueError, match="stream_indices"):
+        sampler.generate(styles, num_bars=1, stream_indices=[0, -1])
+    with pytest.raises(ValueError, match="temperature"):
+        sampler.generate(styles, num_bars=1, temperature=[1.0])
+
+
 def test_prime_self_consistency(sampler):
     """Priming with the model's OWN first K bars reproduces the rest of the
     run byte-for-byte: teacher-forcing the streaming state through notes the

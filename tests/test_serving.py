@@ -239,6 +239,65 @@ def test_concurrent_requests_serialize_correctly(server):
         assert results[s] == expected[s]
 
 
+def test_coalesced_batch_single_device_call_matches_solo(service):
+    """Dynamic batching's core contract, deterministically: three queued
+    requests with different (mixture, bars, seed, temperature) drain in ONE
+    device call, and every response is byte-identical to the direct
+    (non-coalesced) path for that request alone."""
+    from music_generator_tpu.serving.server import _Pending
+    mixes = [service.resolve_mixture({"genre": g}) for g in (0, 1, 0)]
+    reqs = [_Pending(mixes[0], 2, 5, 1.0),
+            _Pending(mixes[1], 1, 9, 0.8),
+            _Pending(mixes[2], 2, 5, 1.3)]
+    with service._pending_lock:
+        service._pending.extend(reqs)
+    before = service.device_calls
+    with service._lock:
+        service._run_pending_locked()
+    assert service.device_calls == before + 1
+    for r in reqs:
+        assert r.done.is_set() and r.error is None
+        solo = service.generate_batch([r.mixture], bars=r.bars, seed=r.seed,
+                                      temperature=r.temperature)[0]
+        assert r.result == solo
+
+
+def test_coalesced_error_is_per_request(service):
+    """A request that fails validation raises in ITS caller before ever
+    touching the queue — it can't poison a shared batch."""
+    with pytest.raises(ValueError):
+        service.generate(bars=1, seed=-1)
+    with pytest.raises(ValueError):
+        service.generate(bars=1, temperature=200.0)
+    with service._pending_lock:
+        assert not service._pending
+
+
+def test_concurrent_heterogeneous_requests_match_sequential(server):
+    """Concurrent /generate traffic with DIFFERENT bars/seeds/temperatures:
+    whether or not the leader coalesces any given pair, every response must
+    equal its sequential re-request (dynamic batching is byte-invisible)."""
+    payloads = [{"genre": g % 3, "bars": 1 + (g % 2), "seed": 40 + g,
+                 "temperature": 1.0 + 0.1 * g} for g in range(4)]
+    results, errors = [None] * 4, []
+
+    def hit(i):
+        try:
+            results[i] = _post(server, payloads[i]).read()
+        except Exception as e:       # noqa: BLE001 — record, assert below
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not [t for t in threads if t.is_alive()], "requests hung"
+    assert not errors, errors
+    for i, p in enumerate(payloads):
+        assert results[i] == _post(server, p).read()
+
+
 def test_out_of_range_seed_is_http_400(server):
     """seed=-1 used to escape do_POST's caught-exception tuple as an
     OverflowError and reset the connection; the sampler now raises

@@ -11,6 +11,11 @@ request→response latency for the serving workloads:
              call (the batched operating point)
   primed   — POST /generate with an 8-bar prime_midi + 8 new bars
              (the r4 primed-continuation surface)
+  concurrent16 — 16 simultaneous solo /generate requests with distinct
+             (genre, seed): the dynamic-request-coalescing workload.
+             Reports wall-clock for ALL 16 plus the device-call count per
+             rep (coalescing visible as device_calls << 16; the
+             sequential baseline for the same traffic is 16 x solo).
 
 Each workload reports every rep chronologically (this box's relay has
 transient slow windows — CLAUDE.md; per-rep lists make them visible),
@@ -116,6 +121,63 @@ def main(argv=None):
             "median_ms_per_timestep": round(median / (pieces * steps), 3),
         }
         print(name, results["workloads"][name])
+
+    # --- concurrent16: dynamic request coalescing under parallel load ----
+    # Pre-compile every power-of-two bucket a racing drain can land on
+    # (the leader may catch 1, 7, 15, ... pending — each pads to its
+    # bucket; through the relay an unwarmed bucket is a minutes-long
+    # compile inside the measurement).
+    for b in (2, 4, 8, 16):
+        _post(url, "/generate_batch",
+              {"styles_list": [[i % 23] for i in range(b)],
+               "bars": bars, "seed": 0})
+
+    def concurrent_rep(nthreads, seed0):
+        outs, errs = [None] * nthreads, []
+        barrier = threading.Barrier(nthreads + 1)
+
+        def hit(i):
+            payload = {"genre": i % 3, "bars": bars, "seed": seed0 + i}
+            barrier.wait()
+            try:
+                outs[i] = _post(url, "/generate", payload)
+            except Exception as e:    # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(nthreads)]
+        for t in threads:
+            t.start()
+        calls0 = service.device_calls
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        dt = (time.perf_counter() - t0) * 1e3
+        if errs:
+            raise RuntimeError(f"concurrent requests failed: {errs[:3]}")
+        return round(dt, 1), service.device_calls - calls0
+
+    nthreads = 16
+    concurrent_rep(nthreads, 500)                # warm the protocol path
+    times, calls = [], []
+    for rep in range(args.reps):
+        dt, ncalls = concurrent_rep(nthreads, 1000 + rep * nthreads)
+        times.append(dt)
+        calls.append(ncalls)
+    ordered = sorted(times)
+    median = ordered[len(ordered) // 2]
+    results["workloads"]["concurrent16"] = {
+        "path": "/generate (16 threads)",
+        "pieces_per_request": nthreads,
+        "reps_ms": times,                        # chronological
+        "device_calls_per_rep": calls,           # coalescing factor
+        "median_ms": median,
+        "min_ms": ordered[0],
+        "median_ms_per_piece": round(median / nthreads, 1),
+        "median_ms_per_timestep": round(median / (nthreads * steps), 3),
+    }
+    print("concurrent16", results["workloads"]["concurrent16"])
 
     httpd.shutdown()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
