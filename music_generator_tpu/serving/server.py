@@ -6,18 +6,28 @@ deployment story for the TPU build.  Design points:
   * One executable per power-of-two batch bucket: serving always runs
     full-length chunks (`pad_partial_chunk` — the surplus steps are
     sliced off, byte-identically), so ANY `bars` value reuses the bucket's
-    cached program.  Startup warmup compiles the bucket-1 executable —
-    the exact program every single-piece request runs; larger buckets
-    compile once on their first /generate_batch use (at most
-    log2(max_batch)+1 programs ever exist).
+    cached program.  `warmup_buckets` pre-compiles every bucket up to a
+    cap at startup (serve_main's default warms ALL of them, so no client
+    request ever pays a batch-shape compile — minutes through a tunneled
+    TPU — with the execution lock held; at most log2(max_batch)+1
+    programs ever exist, and the persistent compile cache makes restarts
+    cheap).
   * Single-threaded model execution (one TPU program at a time) behind a
     lock; the stdlib ThreadingHTTPServer handles concurrent connections.
   * Dynamic request coalescing: concurrent /generate requests that queue
     up while the device is busy run as ONE batched device call (the
     sampler's per-stream (seed, index, temperature) triples — deviation
     #10 — make every coalesced response byte-equal to its solo run, so
-    batching is invisible to clients).  Sequential traffic degrades to
-    the direct path; disable with dynamic_batch=False / --no-dynamic-batch.
+    batching is invisible to clients).  A coalesced batch only mixes
+    requests whose `bars` are within `coalesce_bars_ratio` (default 4x)
+    of each other: the batch generates to its longest request, so the
+    ratio bounds every rider's discarded surplus at (ratio-1)x its own
+    bars — a 1-bar request never pays a 4096-bar co-rider's device time.
+    Sequential traffic degrades to the direct path; disable with
+    dynamic_batch=False / --no-dynamic-batch.
+  * Bounded admission: at most `max_pending` requests queue for
+    coalescing; past that /generate sheds load with HTTP 503 (+
+    Retry-After) instead of queueing unboundedly.
   * Stateless API: POST /generate with JSON → standard MIDI file bytes.
 
 API:
@@ -51,6 +61,11 @@ from music_generator_tpu.models.deepj import DeepJ
 from music_generator_tpu.utils import one_hot
 
 
+class ServiceOverloaded(Exception):
+    """The coalescing queue is at max_pending: the request was shed, not
+    queued.  The HTTP handler maps this to 503 + Retry-After."""
+
+
 class _Pending:
     """One enqueued /generate request awaiting a coalesced device call."""
 
@@ -72,7 +87,9 @@ class GenerationService:
 
     def __init__(self, config: Optional[Config] = None, params=None,
                  warmup: bool = True, max_batch: int = 64,
-                 dynamic_batch: bool = True):
+                 dynamic_batch: bool = True, max_pending: int = 256,
+                 coalesce_bars_ratio: int = 4,
+                 warmup_buckets: Optional[int] = None):
         # Batch cap: each power-of-two bucket up to it compiles one
         # executable (minutes through this box's relay), so the default
         # stays at BASELINE config 4's 64; throughput-oriented deployments
@@ -87,8 +104,23 @@ class GenerationService:
         # transparent: deviation #10's per-stream (seed, index) keys + the
         # per-stream adaptive-temperature carry mean a coalesced piece's
         # bytes equal its solo run exactly, whatever else rides along
-        # (tests/test_serving.py::test_coalesced_responses_match_solo).
+        # (tests/test_serving.py::
+        # test_coalesced_batch_single_device_call_matches_solo).
         self.dynamic_batch = bool(dynamic_batch)
+        # Load shedding: the coalescing queue admits at most max_pending
+        # requests; a flood past that gets ServiceOverloaded (HTTP 503)
+        # instead of queueing unboundedly (VERDICT r4 weak #3).
+        if int(max_pending) < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
+        self.max_pending = int(max_pending)
+        # Tail-latency bound: a coalesced batch generates to its longest
+        # request's bars, so only requests within this ratio of each other
+        # share one (every rider's discarded surplus <= (ratio-1)x its own
+        # bars; 1 disables mixing different bars at all).
+        if int(coalesce_bars_ratio) < 1:
+            raise ValueError(f"coalesce_bars_ratio must be >= 1, "
+                             f"got {coalesce_bars_ratio}")
+        self.coalesce_bars_ratio = int(coalesce_bars_ratio)
         self._pending: list = []
         self._pending_lock = threading.Lock()
         # Instrumentation: device calls made (coalescing visible as
@@ -117,7 +149,32 @@ class GenerationService:
         gen_model = DeepJ(self.cfg.replace(gen_compact_transfer=True))
         self._sampler = Sampler(gen_model, self.params, mesh=auto_mesh())
         if warmup:
-            self.generate(mixture=compute_genre(0, self.cfg), bars=1)
+            self.warmup(warmup_buckets)
+
+    def warmup(self, max_bucket: Optional[int] = None) -> list:
+        """Pre-compile batch-bucket executables: bucket 1 always (the exact
+        program every single-piece request runs); with `max_bucket`, every
+        power-of-two bucket up to min(max_bucket, max_batch) — plus
+        max_batch itself as the top bucket when it isn't a power of two.
+        Through a tunneled TPU each new batch shape is a 1-10 minute
+        compile WITH the execution lock held (advisor r4 finding), so a
+        deployment that may see batched or coalesced traffic should warm
+        them all at startup (`--warmup-buckets`; the persistent compile
+        cache makes restarts cheap).  Returns the bucket sizes compiled."""
+        buckets = [1]
+        if max_bucket:
+            cap = min(int(max_bucket), self.max_batch)
+            b = 2
+            while b <= cap:
+                buckets.append(b)
+                b *= 2
+            if int(max_bucket) >= self.max_batch \
+                    and self.max_batch not in buckets:
+                buckets.append(self.max_batch)
+        base = compute_genre(0, self.cfg)
+        for b in buckets:
+            self.generate_batch([base] * b, bars=1)
+        return buckets
 
     def resolve_mixture(self, payload: dict) -> np.ndarray:
         cfg = self.cfg
@@ -191,7 +248,9 @@ class GenerationService:
         the queue always holds exactly one request and this degrades to
         the direct path (plus one Event)."""
         # Validate HERE so a bad request fails its own caller before it can
-        # poison a shared batch (the same rules generate_batch applies).
+        # poison a shared batch (the same rules generate_batch applies,
+        # including the mixture shape — a malformed mixture passed via the
+        # direct Python API must not reach a shared device call).
         bars = max(1, min(int(bars), 4096))
         temperature = float(temperature)
         if not 0.0 < temperature <= 100.0:
@@ -199,9 +258,16 @@ class GenerationService:
         seed = int(seed)
         if not 0 <= seed < 2 ** 32:
             raise ValueError(f"seed must be in [0, 2**32), got {seed}")
-        req = _Pending(np.asarray(mixture, np.float32), bars, seed,
-                       temperature)
+        mixture = np.asarray(mixture, np.float32)
+        if mixture.shape != (self.cfg.num_styles,):
+            raise ValueError(
+                f"mixture must have {self.cfg.num_styles} entries")
+        req = _Pending(mixture, bars, seed, temperature)
         with self._pending_lock:
+            if len(self._pending) >= self.max_pending:
+                raise ServiceOverloaded(
+                    f"{len(self._pending)} requests already pending "
+                    f"(max_pending={self.max_pending}); retry later")
             self._pending.append(req)
         while not req.done.is_set():
             with self._lock:
@@ -229,10 +295,31 @@ class GenerationService:
 
     def _run_pending_locked(self) -> None:
         """Serve up to max_batch queued requests in one device call.
-        Caller must hold self._lock."""
+        Caller must hold self._lock.
+
+        Bars-aware selection: the batch is anchored on the OLDEST pending
+        request (FIFO — no starvation) and greedily adds later requests
+        only while the selected set's max(bars)/min(bars) stays within
+        coalesce_bars_ratio.  The batch generates to its longest member
+        and slices each response to its own bars, so the ratio bounds any
+        rider's discarded surplus at (ratio-1)x its own bars — a short
+        interactive request never rides a 4096-bar co-rider's device call
+        (VERDICT r4 weak #3).  Skipped requests stay queued; their
+        threads hold _Pending entries and take the leader role on a later
+        pass, so every group drains in FIFO order."""
+        ratio = self.coalesce_bars_ratio
         with self._pending_lock:
-            batch = self._pending[:self.max_batch]
-            del self._pending[:len(batch)]
+            batch, rest = [], []
+            lo = hi = self._pending[0].bars if self._pending else 1
+            for r in self._pending:
+                if len(batch) < self.max_batch:
+                    nlo, nhi = min(lo, r.bars), max(hi, r.bars)
+                    if nhi <= ratio * nlo:
+                        batch.append(r)
+                        lo, hi = nlo, nhi
+                        continue
+                rest.append(r)
+            self._pending = rest
         if not batch:
             return
         try:
@@ -252,10 +339,20 @@ class GenerationService:
             self.device_calls += 1
             spb = self.cfg.notes_per_bar
             for i, r in enumerate(batch):
-                r.result = self._encode_midi(result.notes[i, :r.bars * spb])
+                # Per-request encode: one bad roll must not poison its
+                # siblings' already-computed results (advisor r4 finding).
+                try:
+                    r.result = self._encode_midi(
+                        result.notes[i, :r.bars * spb])
+                except Exception as e:    # noqa: BLE001 — per-request fate
+                    r.error = e
         except Exception as e:
+            # A device-call failure fails the whole batch — but only
+            # requests that don't already have a result or their own error
+            # (advisor r4: the old path overwrote every sibling's fate).
             for r in batch:
-                r.error = e
+                if r.result is None and r.error is None:
+                    r.error = e
         finally:
             for r in batch:
                 r.done.set()
@@ -401,6 +498,18 @@ def make_handler(service: GenerationService):
                     prime=service.resolve_prime(payload),
                     continuation_only=bool(
                         payload.get("continuation_only", False)))
+            except ServiceOverloaded as e:
+                # Load shed: the coalescing queue is full.  503 tells the
+                # client to back off (Retry-After is advisory — one solo
+                # device call is ~hundreds of ms).
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
@@ -412,6 +521,16 @@ def make_handler(service: GenerationService):
             self.wfile.write(midi_bytes)
 
     return Handler
+
+
+class DeepJHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for bursty traffic:
+    the stdlib default (request_queue_size=5) resets connections when more
+    than a handful of clients connect in the same instant — exactly the
+    coalescing workload's shape.  Admission control proper happens at
+    max_pending (HTTP 503), not at the TCP backlog."""
+    request_queue_size = 128
+    daemon_threads = True
 
 
 def serve_main(argv=None) -> None:
@@ -438,6 +557,23 @@ def serve_main(argv=None) -> None:
                              "requests into one device call (responses "
                              "are byte-identical either way; this only "
                              "trades throughput for per-request isolation)")
+    parser.add_argument("--warmup-buckets", type=int, default=None,
+                        metavar="N",
+                        help="pre-compile every power-of-two batch bucket "
+                             "up to N at startup (default: all buckets up "
+                             "to --max-batch, so no client request ever "
+                             "pays a batch-shape compile with the "
+                             "execution lock held; pass 1 for the fastest "
+                             "startup — docs/SERVING.md)")
+    parser.add_argument("--max-pending", type=int, default=256,
+                        help="coalescing-queue depth: /generate requests "
+                             "past this shed with HTTP 503 instead of "
+                             "queueing unboundedly")
+    parser.add_argument("--coalesce-bars-ratio", type=int, default=4,
+                        help="only coalesce /generate requests whose bars "
+                             "are within this ratio of each other (bounds "
+                             "a rider's discarded surplus at (ratio-1)x "
+                             "its own bars; 1 = never mix bars)")
     args = parser.parse_args(argv)
 
     from music_generator_tpu.utils.compile_cache import enable
@@ -451,10 +587,15 @@ def serve_main(argv=None) -> None:
             load_keras_weights)
         params = load_keras_weights(args.from_keras, cfg)
         print(f"Loaded Keras weights from {args.from_keras}")
+    warmup_buckets = (args.warmup_buckets if args.warmup_buckets is not None
+                      else args.max_batch)
     service = GenerationService(config=cfg, params=params,
                                 max_batch=args.max_batch,
-                                dynamic_batch=not args.no_dynamic_batch)
-    httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(service))
+                                dynamic_batch=not args.no_dynamic_batch,
+                                max_pending=args.max_pending,
+                                coalesce_bars_ratio=args.coalesce_bars_ratio,
+                                warmup_buckets=warmup_buckets)
+    httpd = DeepJHTTPServer((args.host, args.port),
+                            make_handler(service))
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()

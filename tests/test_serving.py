@@ -273,6 +273,114 @@ def test_coalesced_error_is_per_request(service):
         assert not service._pending
 
 
+def test_coalesce_bars_ratio_bounds_surplus(service):
+    """Bars-aware coalescing: a coalesced batch only mixes requests whose
+    bars are within coalesce_bars_ratio (default 4x) of each other, so a
+    short request never rides a long co-rider's device call.  Queue
+    1-bar, 8-bar, and 2-bar requests: the first (FIFO-anchored) drain
+    takes {1, 2} and leaves the 8-bar request queued; the second drain
+    takes it — two device calls, every response still byte-equal solo."""
+    from music_generator_tpu.serving.server import _Pending
+    assert service.coalesce_bars_ratio == 4
+    mix = service.resolve_mixture({"genre": 0})
+    reqs = [_Pending(mix, 1, 21, 1.0),
+            _Pending(mix, 8, 22, 1.0),
+            _Pending(mix, 2, 23, 1.0)]
+    with service._pending_lock:
+        service._pending.extend(reqs)
+    before = service.device_calls
+    with service._lock:
+        service._run_pending_locked()
+    assert reqs[0].done.is_set() and reqs[2].done.is_set()
+    assert not reqs[1].done.is_set()          # the 8-bar one stayed queued
+    with service._lock:
+        service._run_pending_locked()
+    assert reqs[1].done.is_set()
+    assert service.device_calls == before + 2
+    for r in reqs:
+        assert r.error is None
+        solo = service.generate_batch([r.mixture], bars=r.bars, seed=r.seed,
+                                      temperature=r.temperature)[0]
+        assert r.result == solo
+
+
+def test_overload_sheds_503(server, service):
+    """Past max_pending queued requests, /generate sheds with HTTP 503 +
+    Retry-After instead of queueing unboundedly."""
+    from music_generator_tpu.serving.server import ServiceOverloaded
+    saved = service.max_pending
+    service.max_pending = 0       # every admission attempt now sheds
+    try:
+        with pytest.raises(ServiceOverloaded):
+            service.generate(bars=1, seed=77)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, {"genre": 0, "bars": 1, "seed": 77})
+        assert e.value.code == 503
+        assert e.value.headers["Retry-After"]
+        assert "error" in json.loads(e.value.read())
+    finally:
+        service.max_pending = saved
+    # Back under the cap the same request serves fine.
+    assert service.generate(bars=1, seed=77)
+
+
+def test_coalesced_mixture_is_validated(service):
+    """A malformed mixture passed via the direct Python API fails its own
+    caller before it can reach a shared device call (advisor r4)."""
+    with pytest.raises(ValueError):
+        service.generate(mixture=np.zeros(3, np.float32), bars=1)
+    with service._pending_lock:
+        assert not service._pending
+
+
+def test_coalesced_encode_failure_is_per_request(service, monkeypatch):
+    """One request's encode failure must not poison co-batched siblings
+    (advisor r4: the old except block set the SAME exception on every
+    request, including ones whose result was already computed)."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 0})
+    reqs = [_Pending(mix, 1, 31, 1.0), _Pending(mix, 1, 32, 1.0)]
+    real_encode = type(service)._encode_midi
+    calls = {"n": 0}
+
+    def flaky_encode(self, roll):
+        calls["n"] += 1
+        if calls["n"] == 1:       # first request's encode blows up
+            raise RuntimeError("boom")
+        return real_encode(self, roll)
+
+    monkeypatch.setattr(type(service), "_encode_midi", flaky_encode)
+    with service._pending_lock:
+        service._pending.extend(reqs)
+    with service._lock:
+        service._run_pending_locked()
+    assert isinstance(reqs[0].error, RuntimeError)
+    assert reqs[1].error is None and reqs[1].result is not None
+    monkeypatch.undo()
+    solo = service.generate_batch([mix], bars=1, seed=32)[0]
+    assert reqs[1].result == solo
+
+
+def test_warmup_buckets_precompiles_every_bucket(service):
+    """warmup(N) compiles one executable per power-of-two bucket up to N
+    (capped at max_batch, which joins as the top bucket when not itself a
+    power of two) — so no later request pays a batch-shape compile with
+    the execution lock held."""
+    from music_generator_tpu.generation.sampler import Sampler
+    Sampler._chunk_jit._clear_cache()
+    assert service.warmup(4) == [1, 2, 4]
+    # On a multi-device host the sampler additionally pads each bucket to
+    # mesh divisibility, so buckets below the device count share one
+    # executable (8 on the tests' virtual mesh; distinct shapes on one chip).
+    mesh = service._sampler.mesh
+    mesh_pad = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    expected = len({max(b, mesh_pad) for b in (1, 2, 4)})
+    assert Sampler._chunk_jit._cache_size() == expected
+    # Already-warmed buckets recompile nothing.
+    service.warmup(4)
+    assert Sampler._chunk_jit._cache_size() == expected
+
+
 def test_concurrent_heterogeneous_requests_match_sequential(server):
     """Concurrent /generate traffic with DIFFERENT bars/seeds/temperatures:
     whether or not the leader coalesces any given pair, every response must

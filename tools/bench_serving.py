@@ -16,6 +16,15 @@ request→response latency for the serving workloads:
              Reports wall-clock for ALL 16 plus the device-call count per
              rep (coalescing visible as device_calls << 16; the
              sequential baseline for the same traffic is 16 x solo).
+  mixed_bars — 1-bar interactive requests timed WHILE 64-bar co-traffic
+             hammers the service: the bars-aware coalescing workload
+             (r5).  Without the coalesce_bars_ratio grouping a 1-bar
+             request could ride a 64-bar batch and pay its full device
+             time; with it the short request's p50/p95 should sit near
+             the quiet-service 1-bar baseline plus at most one 64-bar
+             call's queueing delay (it never COMPUTES 64 bars).
+  overload — a burst past max_pending: counts HTTP 503 sheds vs 200s
+             (bounded admission, r5).
 
 Each workload reports every rep chronologically (this box's relay has
 transient slow windows — CLAUDE.md; per-rep lists make them visible),
@@ -65,14 +74,19 @@ def main(argv=None):
 
     from music_generator_tpu.config import default_config
     from music_generator_tpu.models.deepj import DeepJ
-    from music_generator_tpu.serving.server import (GenerationService,
+    from music_generator_tpu.serving.server import (DeepJHTTPServer,
+                                                    GenerationService,
                                                     make_handler)
     from tools.check_fidelity import _params_from_npz
 
     cfg = default_config()
     params = _params_from_npz(DeepJ(cfg), args.params)
-    service = GenerationService(config=cfg, params=params, warmup=True)
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    # warmup_buckets=16: every power-of-two bucket a racing coalesced
+    # drain can land on pre-compiles at startup (the r5 serving flag —
+    # replaces this tool's old manual /generate_batch warm loop).
+    service = GenerationService(config=cfg, params=params, warmup=True,
+                                warmup_buckets=16)
+    httpd = DeepJHTTPServer(("127.0.0.1", 0), make_handler(service))
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{httpd.server_port}"
 
@@ -123,15 +137,8 @@ def main(argv=None):
         print(name, results["workloads"][name])
 
     # --- concurrent16: dynamic request coalescing under parallel load ----
-    # Pre-compile every power-of-two bucket a racing drain can land on
-    # (the leader may catch 1, 7, 15, ... pending — each pads to its
-    # bucket; through the relay an unwarmed bucket is a minutes-long
-    # compile inside the measurement).
-    for b in (2, 4, 8, 16):
-        _post(url, "/generate_batch",
-              {"styles_list": [[i % 23] for i in range(b)],
-               "bars": bars, "seed": 0})
-
+    # (Every bucket a racing drain can land on was pre-compiled by
+    # warmup_buckets=16 at service construction.)
     def concurrent_rep(nthreads, seed0):
         outs, errs = [None] * nthreads, []
         barrier = threading.Barrier(nthreads + 1)
@@ -178,6 +185,114 @@ def main(argv=None):
         "median_ms_per_timestep": round(median / (nthreads * steps), 3),
     }
     print("concurrent16", results["workloads"]["concurrent16"])
+
+    # --- mixed_bars: short requests under long co-traffic -----------------
+    # Bars-aware coalescing (r5): 1-bar interactive requests must not ride
+    # 64-bar batches.  Two background threads keep 64-bar requests in
+    # flight while we time `reps` sequential 1-bar requests; the quiet
+    # baseline is the same 1-bar request on an idle service.
+    long_bars = 64
+    _post(url, "/generate", {"genre": 0, "bars": 1, "seed": 9000})
+    _post(url, "/generate", {"genre": 0, "bars": long_bars, "seed": 9001})
+    quiet = []
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        _post(url, "/generate", {"genre": 0, "bars": 1, "seed": 9100 + rep})
+        quiet.append(round((time.perf_counter() - t0) * 1e3, 1))
+
+    stop = threading.Event()
+    errs = []
+
+    def long_traffic(tid):
+        s = 0
+        while not stop.is_set():
+            try:
+                _post(url, "/generate",
+                      {"genre": tid % 3, "bars": long_bars,
+                       "seed": 9500 + tid * 1000 + s})
+            except Exception as e:   # noqa: BLE001 — surfaced below
+                errs.append(e)
+                return
+            s += 1
+
+    hammers = [threading.Thread(target=long_traffic, args=(i,))
+               for i in range(2)]
+    for t in hammers:
+        t.start()
+    time.sleep(0.2)                 # let the co-traffic reach the device
+    busy = []
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        _post(url, "/generate", {"genre": 0, "bars": 1, "seed": 9200 + rep})
+        busy.append(round((time.perf_counter() - t0) * 1e3, 1))
+    # Counterfactual: disable the grouping (ratio → huge) so the short
+    # request RIDES the 64-bar batches — it then pays the co-riders' full
+    # device compute instead of at most one in-flight call's queueing
+    # delay.  The delta is what coalesce_bars_ratio buys.
+    saved_ratio = service.coalesce_bars_ratio
+    service.coalesce_bars_ratio = 1 << 30
+    busy_unbounded = []
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        _post(url, "/generate", {"genre": 0, "bars": 1, "seed": 9300 + rep})
+        busy_unbounded.append(round((time.perf_counter() - t0) * 1e3, 1))
+    service.coalesce_bars_ratio = saved_ratio
+    stop.set()
+    for t in hammers:
+        t.join()
+    if errs:
+        raise RuntimeError(f"long co-traffic failed: {errs[:3]}")
+
+    def _pct(xs, q):
+        o = sorted(xs)
+        return o[min(len(o) - 1, int(round(q * (len(o) - 1))))]
+
+    results["workloads"]["mixed_bars"] = {
+        "path": "/generate (1 bar under 64-bar co-traffic)",
+        "long_bars": long_bars,
+        "quiet_ms": quiet,                   # chronological baseline
+        "busy_ms": busy,                     # chronological under load
+        "busy_unbounded_ms": busy_unbounded,  # ratio disabled (rides longs)
+        "quiet_p50_ms": _pct(quiet, 0.5),
+        "busy_p50_ms": _pct(busy, 0.5),
+        "busy_p95_ms": _pct(busy, 0.95),
+        "busy_unbounded_p50_ms": _pct(busy_unbounded, 0.5),
+        "busy_unbounded_p95_ms": _pct(busy_unbounded, 0.95),
+        "coalesce_bars_ratio": saved_ratio,
+    }
+    print("mixed_bars", results["workloads"]["mixed_bars"])
+
+    # --- overload: bounded admission at the HTTP surface ------------------
+    # Temporarily shrink the queue and flood it; count 503 sheds.  (The
+    # unit suite pins the semantics; this records them at the surface.)
+    saved_pending = service.max_pending
+    service.max_pending = 2
+    codes = []
+    code_lock = threading.Lock()
+
+    def flood(i):
+        try:
+            _post(url, "/generate",
+                  {"genre": 0, "bars": bars, "seed": 9900 + i})
+            with code_lock:
+                codes.append(200)
+        except urllib.error.HTTPError as e:
+            with code_lock:
+                codes.append(e.code)
+
+    floods = [threading.Thread(target=flood, args=(i,)) for i in range(12)]
+    for t in floods:
+        t.start()
+    for t in floods:
+        t.join()
+    service.max_pending = saved_pending
+    results["workloads"]["overload"] = {
+        "path": "/generate (12 concurrent, max_pending=2)",
+        "status_codes": sorted(codes),
+        "shed_503": codes.count(503),
+        "served_200": codes.count(200),
+    }
+    print("overload", results["workloads"]["overload"])
 
     httpd.shutdown()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
