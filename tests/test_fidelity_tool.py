@@ -47,6 +47,37 @@ def test_compare_dirs_detects_byte_differences(tmp_path):
     (a / "diff.mid").write_bytes(b"\x00\x01\x02\x04")
     r = compare_dirs(str(a), str(b))
     assert r["identical"] and r["mismatches"] == []
+    assert r["event_identical"] and r["event_mismatches"] == []
+
+
+def test_compare_dirs_event_level_column(tmp_path):
+    """Certificates carry event-level identity as a first-class column
+    (VERDICT r4): a volume-only byte difference (the r4 flagship's knife
+    edge shape) reports event_identical=True; a note-content difference
+    reports False — no manual DIVERGENCE pass needed to tell them apart."""
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import midi_encode
+    from music_generator_tpu.midi.io import write_midifile
+
+    cfg = default_config()
+    roll = np.zeros((8, 128, 3), np.float32)
+    roll[2:6, 60, 0] = 1.0
+    roll[2:6, 60, 2] = 0.5
+    roll_vol = roll.copy()
+    roll_vol[2:6, 60, 2] = 0.52          # same notes, one velocity off
+    roll_note = roll.copy()
+    roll_note[2:6, 62, 0] = 1.0          # an extra note
+    roll_note[2:6, 62, 2] = 0.5
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for d, rx, ry in ((a, roll, roll), (b, roll_vol, roll_note)):
+        write_midifile(str(d / "vol.mid"), midi_encode(rx, config=cfg))
+        write_midifile(str(d / "note.mid"), midi_encode(ry, config=cfg))
+    r = compare_dirs(str(a), str(b))
+    assert r["mismatches"] == ["note.mid", "vol.mid"]
+    assert r["event_mismatches"] == ["note.mid"]
+    assert not r["identical"] and not r["event_identical"]
 
 
 def test_preseeded_params_cannot_override_explicit_flags(tmp_path):

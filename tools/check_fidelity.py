@@ -141,14 +141,45 @@ def generate_suite(out_dir: str, variant: str, params_npz: str,
         write_midifile(os.path.join(out_dir, f"primed_{seed}_0.mid"), mf)
 
 
+def _events_equal(fa: str, fb: str) -> bool:
+    """Event-level identity: decode both .mid files and compare the
+    play/replay planes (note content), ignoring volume bytes.  The r4
+    flagship's knife edge was a single VOLUME byte 1.66e-4 from a
+    rounding boundary while note events stayed 40/40 identical
+    (docs/FIDELITY.md) — certificates record both levels so that
+    distinction never needs a manual DIVERGENCE pass (VERDICT r4)."""
+    import numpy as np
+
+    from music_generator_tpu.config import default_config
+    from music_generator_tpu.midi.codec import midi_decode
+    from music_generator_tpu.midi.io import read_midifile
+
+    cfg = default_config()
+    try:
+        ra = midi_decode(read_midifile(fa), cfg.midi_max_notes, config=cfg)
+        rb = midi_decode(read_midifile(fb), cfg.midi_max_notes, config=cfg)
+    except Exception:
+        # A file that doesn't even parse is certainly not event-identical.
+        return False
+    return ra.shape == rb.shape and bool(
+        np.array_equal(ra[..., :2], rb[..., :2]))
+
+
 def compare_dirs(a: str, b: str) -> dict:
     files = sorted(os.listdir(a))
     assert files == sorted(os.listdir(b)), "file sets differ"
     mismatches = [f for f in files
                   if open(os.path.join(a, f), "rb").read()
                   != open(os.path.join(b, f), "rb").read()]
+    # Byte-identical files are trivially event-identical; only byte
+    # mismatches need the decode-level comparison.
+    event_mismatches = [f for f in mismatches
+                        if not _events_equal(os.path.join(a, f),
+                                             os.path.join(b, f))]
     return {"files": len(files), "mismatches": mismatches,
-            "identical": not mismatches}
+            "identical": not mismatches,
+            "event_mismatches": event_mismatches,
+            "event_identical": not event_mismatches}
 
 
 def main(argv=None):
