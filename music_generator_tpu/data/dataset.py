@@ -275,6 +275,34 @@ def epoch_permutation(n: int, batch_size: int, rng: np.random.Generator,
     return perm[:S * batch_size].reshape(S, batch_size)
 
 
+def block_epoch_permutation(block_len: int, n_blocks: int,
+                            per_block_batch: int,
+                            rng: np.random.Generator) -> np.ndarray:
+    """One epoch's shuffled BLOCK-LOCAL indices for the sharded epoch scan
+    (parallel.train_step.make_sharded_epoch_step): an
+    [S, n_blocks * per_block_batch] int32 matrix whose column block d
+    holds indices into device d's resident [block_len] rows.
+
+    Each device block shuffles independently and every batch takes
+    per_block_batch rows from every block — a stratified shuffle (the
+    per-device analogue of the per-host shuffle the streaming multi-host
+    path uses).  Like epoch_permutation, a block whose length doesn't
+    divide wraps its final rows (np.resize cycles).  Every host computes
+    the identical matrix from the shared epoch rng, so multi-process runs
+    stay in lockstep without communicating indices."""
+    if block_len <= 0 or per_block_batch <= 0 or n_blocks <= 0:
+        raise ValueError("block_len, n_blocks, per_block_batch must be >= 1")
+    S = -(-block_len // per_block_batch)
+    want = S * per_block_batch
+    cols = []
+    for _ in range(n_blocks):
+        perm = rng.permutation(block_len)
+        if want > block_len:
+            perm = np.concatenate([perm, np.resize(perm, want - block_len)])
+        cols.append(perm.reshape(S, per_block_batch))
+    return np.concatenate(cols, axis=1).astype(np.int32)
+
+
 def batches(ds: Dataset, batch_size: int, *, rng: np.random.Generator,
             drop_remainder: bool = True) -> Iterator[Tuple[np.ndarray, ...]]:
     """Shuffled fixed-shape batches for one epoch.
