@@ -93,6 +93,56 @@ def bench_generate(cfg, args, batch):
     reps_all = [round(t, 3) for t in per_rep]    # chronological
     per_rep.sort()
     ms_per_step = per_rep[len(per_rep) // 2]
+
+    # Self-normalizing capture (VERDICT r4 #5): the end-to-end number
+    # through this box's TPU relay moves within a ~1.2-2.1 ms band with the
+    # relay's device→host transfer state (docs/PERFORMANCE.md environment-
+    # variance note), so each capture also records (a) the hardware-side
+    # compute floor — the PRODUCTION chunk executable chained on-device
+    # with the notes left unread, forced by one scalar readback of the
+    # carried state — and (b) the relay's measured D2H rate on that same
+    # chunk's real payload.  end_to_end ≈ max(compute, transfer) + dispatch,
+    # so any single BENCH_r*.json is interpretable without cross-
+    # referencing the variance note.
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfgs = sampler.cfg
+    styles_arr = jnp.asarray(np.stack(styles), jnp.float32)
+    with jax.default_matmul_precision(cfgs.gen_matmul_precision):
+        style_emb = sampler.model.style_embedding(sampler.params, styles_arr)
+    chunk = cfgs.notes_per_bar * 8               # generate()'s chunk_bars=8
+    n_chunks = max(1, steps_per_rep // chunk)
+    state = sampler._init_state(styles_arr.shape[0], jnp.uint32(0), 1.0, 0)
+    state, out = sampler._chunk_jit(sampler.params, style_emb, state,
+                                    chunk, jnp.int32(0))
+    float(state.temperature.sum())               # compile + settle
+    compute_reps, d2h_outs = [], []
+    for _ in range(max(3, reps // 2)):
+        t0 = time.perf_counter()
+        t, outs = chunk, []
+        for _ in range(n_chunks):
+            state, out = sampler._chunk_jit(sampler.params, style_emb,
+                                            state, chunk, jnp.int32(t))
+            outs.append(out)
+            t += chunk
+        float(state.temperature.sum())           # forces the whole chain
+        compute_reps.append((time.perf_counter() - t0)
+                            / (n_chunks * chunk) * 1000.0)
+        d2h_outs.append(outs[-1])                # computed, never pulled
+    compute_reps.sort()
+    compute_ms = compute_reps[len(compute_reps) // 2]
+    # D2H: pull each rep's final (already-computed) chunk payload — jax
+    # caches a pulled array's host value, so each timing uses a fresh one.
+    d2h_rates = []
+    for out in d2h_outs:
+        nbytes = sum(int(np.prod(o.shape)) * o.dtype.itemsize for o in out)
+        t0 = time.perf_counter()
+        for o in out:
+            np.asarray(o)
+        d2h_rates.append(nbytes / (time.perf_counter() - t0) / 1e6)
+    d2h_rates.sort()
+
     # Baseline target: < 5 ms/timestep → vs_baseline = target / actual
     # (>1 is better than target).
     return {
@@ -105,6 +155,8 @@ def bench_generate(cfg, args, batch):
                                    round(ms_per_step, 3),
                                    round(per_rep[-1], 3)],
         "reps_ms": reps_all,
+        "compute_only_ms_per_timestep": round(compute_ms, 3),
+        "d2h_MBps": round(d2h_rates[len(d2h_rates) // 2], 1),
     }
 
 
