@@ -32,13 +32,19 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 
 
 def auto_mesh(axis_name: str = "data") -> Optional[Mesh]:
-    """A data mesh over all local chips when there is more than one, else
-    None — the user-facing default for generation surfaces (generate CLI,
-    serving): BASELINE config 4's 64 parallel samples shard over a v5e-8
-    from the stock CLI with no flags.  Single-process only (multi-process
-    generation would need per-host result gathering; training is the
-    multi-process surface)."""
-    if jax.process_count() == 1 and len(jax.devices()) > 1:
+    """A data mesh over every chip in the cluster when there is more than
+    one, else None — the user-facing default for generation surfaces
+    (generate CLI, serving): BASELINE config 4's 64 parallel samples shard
+    over a v5e-8 from the stock CLI with no flags.
+
+    Multi-process (r5, VERDICT r4 #4): the mesh is GLOBAL — every host
+    must run the same generate() calls with the same arguments (the SPMD
+    convention; the CLI satisfies it naturally when each pod host runs the
+    same command), the streams shard across hosts, and each host reads
+    back the full replicated result (Sampler._mp_fns).  Bytes equal the
+    single-process run per deviation #10
+    (tests/test_multiprocess.py::test_two_process_generation...)."""
+    if len(jax.devices()) > 1:
         return make_mesh(axis_name=axis_name)
     return None
 

@@ -574,6 +574,15 @@ def serve_main(argv=None) -> None:
                              "are within this ratio of each other (bounds "
                              "a rider's discarded surplus at (ratio-1)x "
                              "its own bars; 1 = never mix bars)")
+    parser.add_argument("--mp-coord", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="multi-host serving replay channel: the "
+                             "leader (process 0) binds here and fronts "
+                             "HTTP; every other process connects and "
+                             "replays its device calls (required when "
+                             "jax.process_count() > 1; run the SAME "
+                             "command on every pod host — "
+                             "serving/multihost.py)")
     args = parser.parse_args(argv)
 
     from music_generator_tpu.utils.compile_cache import enable
@@ -589,13 +598,41 @@ def serve_main(argv=None) -> None:
         print(f"Loaded Keras weights from {args.from_keras}")
     warmup_buckets = (args.warmup_buckets if args.warmup_buckets is not None
                       else args.max_batch)
+    import jax
+    if jax.process_count() > 1 and not args.mp_coord:
+        raise SystemExit(
+            "multi-host serving needs --mp-coord HOST:PORT (the leader's "
+            "replay-channel address; same flag on every host)")
+
     service = GenerationService(config=cfg, params=params,
                                 max_batch=args.max_batch,
                                 dynamic_batch=not args.no_dynamic_batch,
                                 max_pending=args.max_pending,
                                 coalesce_bars_ratio=args.coalesce_bars_ratio,
                                 warmup_buckets=warmup_buckets)
+    proxy = None
+    if jax.process_count() > 1:
+        # Every host constructed the identical service above (same flags →
+        # the same warmup sequence, SPMD-consistent without any channel).
+        # From here the leader fronts HTTP and replays each device call to
+        # the followers (serving/multihost.py).
+        from music_generator_tpu.serving.multihost import follow, lead
+        mp_host, mp_port = args.mp_coord.rsplit(":", 1)
+        if jax.process_index() == 0:
+            proxy = lead(service, mp_host, int(mp_port),
+                         jax.process_count() - 1)
+        else:
+            print(f"follower {jax.process_index()}: replaying the "
+                  f"leader's device calls from {args.mp_coord}")
+            n = follow(service, mp_host, int(mp_port))
+            print(f"follower {jax.process_index()}: leader closed after "
+                  f"{n} calls; exiting")
+            return
     httpd = DeepJHTTPServer((args.host, args.port),
                             make_handler(service))
     print(f"serving on http://{args.host}:{args.port}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        if proxy is not None:
+            proxy.stop_followers()
