@@ -125,8 +125,8 @@ class Config:
     # reference era's LSTM default, offered so genuine Keras-2-trained
     # weights run with their original gate math (deviation #12,
     # docs/MIGRATION.md; measured vs real Keras by tools/keras_oracle.py).
-    # Forces the XLA kernel path (the fused Pallas kernels implement
-    # sigmoid gates only).
+    # Runs fused: the Pallas kernels implement both gate flavors (r5;
+    # parity pinned by tests/test_hard_gates.py).
     lstm_recurrent_activation: str = "sigmoid"
     # Octave-transpose data augmentation (flag off for parity runs).
     transpose_augment: int = 0     # max semitone shift (0 disables)

@@ -180,11 +180,11 @@ class DeepJ:
 
     def _kernel(self) -> str:
         cfg = self.cfg
-        if cfg.lstm_recurrent_activation != "sigmoid":
-            # The fused Pallas kernels implement sigmoid gates only; the
-            # Keras-2 hard_sigmoid compatibility mode (deviation #12) runs
-            # on the XLA path regardless of lstm_kernel.
-            return "xla"
+        # r5: the fused Pallas kernels implement BOTH gate flavors
+        # (sigmoid and Keras 2's hard_sigmoid, deviation #12), so
+        # reference-trained weights keep the fused training speedup and
+        # the fused generation path (VERDICT r4 #6; parity pinned by
+        # tests/test_hard_gates.py).
         k = cfg.lstm_kernel
         if k != "auto":
             return k
@@ -302,7 +302,9 @@ class DeepJ:
                               l0.lstm.kernel, l0.lstm.bias, l1.lstm.bias,
                               l0.lstm.recurrent, l1.lstm.kernel,
                               l1.lstm.recurrent, dropout_p=p, seed=seed,
-                              compute_dtype=dt)
+                              compute_dtype=dt,
+                              recurrent_activation=(
+                                  cfg.lstm_recurrent_activation))
         return hs1
 
     def time_axis_tm(self, params: Params, x: jax.Array, style_emb_tm: jax.Array,
@@ -503,7 +505,8 @@ class DeepJ:
             s0_t, s1_t,
             tl0.lstm.kernel, tl0.lstm.bias, tl1.lstm.bias,
             tl0.lstm.recurrent, tl1.lstm.kernel, tl1.lstm.recurrent,
-            dropout_p=p, seed=seed_t, compute_dtype=dt)
+            dropout_p=p, seed=seed_t, compute_dtype=dt,
+            recurrent_activation=cfg.lstm_recurrent_activation)
 
         nl0, nl1 = params.note_axis
         chosen_ntb = chosen.transpose(2, 1, 0, 3)              # [N, T, B, 3]
@@ -519,7 +522,8 @@ class DeepJ:
             ht, shift_chosen, s0_n, s1_n,
             nl0.lstm.kernel, nl0.lstm.bias, nl1.lstm.bias,
             nl0.lstm.recurrent, nl1.lstm.kernel, nl1.lstm.recurrent,
-            whead, bhead, dropout_p=p, seed=seed_n, compute_dtype=dt)
+            whead, bhead, dropout_p=p, seed=seed_n, compute_dtype=dt,
+            recurrent_activation=cfg.lstm_recurrent_activation)
         return out.transpose(2, 1, 0, 3)                       # [B, T, N, 3]
 
     # -- loss (ref: model.py:14-20) ---------------------------------------

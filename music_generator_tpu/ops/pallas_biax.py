@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from music_generator_tpu.ops.pallas_lstm import _gate_slices, _sigmoid
+from music_generator_tpu.ops.pallas_lstm import (_gate_grad, _gate_slices,
+                                                 _hard_sigmoid, _sigmoid)
 from music_generator_tpu.ops.pallas_lstm2 import _cell_bwd
 
 
@@ -66,7 +67,7 @@ HARD_GATES = False    # clip-based gate nonlinearities (probe only — NOT an
                       # LSTM; times the VPU transcendental budget)
 
 
-def _gates(z, hidden):
+def _gates(z, hidden, hard=False):
     if HARD_GATES:
         def hs(v):
             return jnp.clip(v * jnp.asarray(0.25, v.dtype)
@@ -74,7 +75,9 @@ def _gates(z, hidden):
         return (hs(z[:, :hidden]), hs(z[:, hidden:2 * hidden]),
                 jnp.clip(z[:, 2 * hidden:3 * hidden], -1.0, 1.0),
                 hs(z[:, 3 * hidden:]))
-    return _gate_slices(z, hidden)
+    # hard=True: REAL Keras-2 hard_sigmoid gates (deviation #12) — unlike
+    # the HARD_GATES probe knob above, the cell activation stays tanh.
+    return _gate_slices(z, hidden, hard)
 
 
 def _tanh(x):
@@ -128,20 +131,22 @@ def _mask(seed_ref, site: int, j, s, shape, keep_prob: float, dtype):
     return keep.astype(dtype) * jnp.asarray(1.0 / keep_prob, dtype)
 
 
-def _cell_fwd(z_in, h_prev_f32, c_prev_f32, u_ref, cdt, hidden):
+def _cell_fwd(z_in, h_prev_f32, c_prev_f32, u_ref, cdt, hidden,
+              hard=False):
     z = (z_in + jnp.dot(h_prev_f32.astype(cdt), u_ref[:],
                         preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gates(z, hidden)
+    i, f, g, o = _gates(z, hidden, hard)
     c_new = f.astype(jnp.float32) * c_prev_f32 + (i * g).astype(jnp.float32)
     h_new = (o.astype(jnp.float32)
              * _tanh(c_new.astype(cdt)).astype(jnp.float32))
     return h_new, c_new
 
 
-def _cell_recompute(z_in, h_prev, c_prev_f32, u_ref, cdt, hidden):
+def _cell_recompute(z_in, h_prev, c_prev_f32, u_ref, cdt, hidden,
+                    hard=False):
     z = (z_in + jnp.dot(h_prev, u_ref[:],
                         preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gates(z, hidden)
+    i, f, g, o = _gates(z, hidden, hard)
     c_new = f.astype(jnp.float32) * c_prev_f32 + (i * g).astype(jnp.float32)
     tanh_c = _tanh(c_new.astype(cdt)).astype(jnp.float32)
     return i, f, g, o, tanh_c
@@ -160,7 +165,7 @@ def _bcast_rows(block, k: int, B: int, F: int):
 # ---------------------------------------------------------------------------
 
 def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
-                     tapes: bool = True):
+                     tapes: bool = True, hard: bool = False):
     def kern(seed_ref, x_ref, s0_ref, s1_ref, w0_ref, b0_ref, b1_ref,
              u0_ref, w1_ref, u1_ref,
              *refs):
@@ -200,7 +205,7 @@ def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
         xw0 = (jnp.dot(x, w0_ref[:],
                        preferred_element_type=jnp.float32).astype(cdt)
                + b0_ref[:].astype(cdt))
-        h0_new, c0_new = _cell_fwd(xw0, h0_s[:], c0_s[:], u0_ref, cdt, hidden)
+        h0_new, c0_new = _cell_fwd(xw0, h0_s[:], c0_s[:], u0_ref, cdt, hidden, hard)
         if hs0_ref is not None:
             cs0_ref[0] = c0_s[:].astype(cdt).reshape(k, B, hidden)
             hs0_ref[0] = h0_new.astype(cdt).reshape(k, B, hidden)
@@ -216,7 +221,7 @@ def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
         xw1 = (jnp.dot(x1, w1_ref[:],
                        preferred_element_type=jnp.float32).astype(cdt)
                + b1_ref[:].astype(cdt))
-        h1_new, c1_new = _cell_fwd(xw1, h1_s[:], c1_s[:], u1_ref, cdt, hidden)
+        h1_new, c1_new = _cell_fwd(xw1, h1_s[:], c1_s[:], u1_ref, cdt, hidden, hard)
         if cs1_ref is not None:
             cs1_ref[0] = c1_s[:].astype(cdt).reshape(k, B, hidden)
         hs1_ref[0] = h1_new.astype(cdt).reshape(k, B, hidden)
@@ -237,7 +242,8 @@ def _time_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
     return kern
 
 
-def _time_bwd_kernel(keep_prob: float, k: int, B: int):
+def _time_bwd_kernel(keep_prob: float, k: int, B: int,
+                     hard: bool = False):
     def kern(seed_ref, x_ref, s0_ref, s1_ref, w0_ref, b0_ref, b1_ref,
              u0_ref, w1_ref, u1_ref,
              hs0p_ref, cs0p_ref, hs1p_ref, cs1p_ref, hs0_ref,
@@ -292,7 +298,7 @@ def _time_bwd_kernel(keep_prob: float, k: int, B: int):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b0_ref[:].astype(cdt))
         i0, f0, g0, o0, tanh_c0 = _cell_recompute(
-            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden)
+            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden, hard)
 
         mmid = _mask(seed_ref, S_MID, j, t, (R, hidden), keep_prob, cdt)
         x1m = h0 * mmid if mmid is not None else h0
@@ -303,12 +309,13 @@ def _time_bwd_kernel(keep_prob: float, k: int, B: int):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b1_ref[:].astype(cdt))
         i1, f1, g1, o1, tanh_c1 = _cell_recompute(
-            xw1, h1_prev, c1_prev, u1_ref, cdt, hidden)
+            xw1, h1_prev, c1_prev, u1_ref, cdt, hidden, hard)
 
         # Layer 1 backward.
         dh1 = dh1_s[:] + dhs1_ref[0].reshape(R, hidden).astype(jnp.float32)
         dz1, dc1_prev, dh1_prev = _cell_bwd(
-            i1, f1, g1, o1, c1_prev, tanh_c1, dh1, dc1_s[:], u1_ref, cdt)
+            i1, f1, g1, o1, c1_prev, tanh_c1, dh1, dc1_s[:], u1_ref, cdt,
+            hard)
         du1_s[:] += jnp.dot(h1_prev.T, dz1, preferred_element_type=jnp.float32)
         db1_s[:] += jnp.sum(dz1.astype(jnp.float32), axis=0, keepdims=True)
         dw1_s[:] += jnp.dot(x1.T, dz1, preferred_element_type=jnp.float32)
@@ -326,7 +333,8 @@ def _time_bwd_kernel(keep_prob: float, k: int, B: int):
 
         # Layer 0 backward.
         dz0, dc0_prev, dh0_prev = _cell_bwd(
-            i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt)
+            i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt,
+            hard)
         dw0_s[:] += jnp.dot(x.T, dz0, preferred_element_type=jnp.float32)
         db0_s[:] += jnp.sum(dz0.astype(jnp.float32), axis=0, keepdims=True)
         du0_s[:] += jnp.dot(h0_prev.T, dz0, preferred_element_type=jnp.float32)
@@ -353,7 +361,7 @@ def _time_bwd_kernel(keep_prob: float, k: int, B: int):
 
 
 def _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob,
-                   compute_dtype, dump=False, tapes=True):
+                   compute_dtype, dump=False, tapes=True, hard=False):
     T, N, B, F = x.shape
     H4 = u0.shape[1]
     H = H4 // 4
@@ -377,7 +385,7 @@ def _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob,
                       tape(), tape()]
 
     outs = pl.pallas_call(
-        _time_fwd_kernel(keep_prob, k, B, dump, tapes),
+        _time_fwd_kernel(keep_prob, k, B, dump, tapes, hard),
         grid=(NJ, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
@@ -416,7 +424,7 @@ def _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob,
     return outs
 
 
-def _time_bwd_impl(residuals, dhs1, keep_prob, compute_dtype):
+def _time_bwd_impl(residuals, dhs1, keep_prob, compute_dtype, hard=False):
     (x, s0, s1, w0, b0, b1, u0, w1, u1, seed, hs0, cs0, hs1, cs1) = residuals
     T, N, B, F = x.shape
     H4 = u0.shape[1]
@@ -440,7 +448,7 @@ def _time_bwd_impl(residuals, dhs1, keep_prob, compute_dtype):
         memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        _time_bwd_kernel(keep_prob, k, B),
+        _time_bwd_kernel(keep_prob, k, B, hard),
         grid=(NJ, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # seed
@@ -522,26 +530,28 @@ def _time_bwd_impl(residuals, dhs1, keep_prob, compute_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_time_stack(dtype_name: str, keep_prob: float):
+def _make_time_stack(dtype_name: str, keep_prob: float,
+                     hard: bool = False):
     cdt = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
     def stack(x, s0, s1, w0, b0, b1, u0, w1, u1, seed):
         # Primal-only (eval) call: skip the backward-residual tapes.
         outs = _time_fwd_impl(x, s0, s1, w0, b0, b1, u0, w1, u1, seed,
-                              keep_prob, cdt, tapes=False)
+                              keep_prob, cdt, tapes=False, hard=hard)
         return outs[0]                                    # hs1
 
     def fwd_rule(x, s0, s1, w0, b0, b1, u0, w1, u1, seed):
         hs0, cs0, hs1, cs1 = _time_fwd_impl(
-            x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob, cdt)
+            x, s0, s1, w0, b0, b1, u0, w1, u1, seed, keep_prob, cdt,
+            hard=hard)
         return hs1, (x, s0, s1, w0, b0, b1, u0, w1, u1, seed,
                      hs0, cs0, hs1, cs1)
 
     def bwd_rule(residuals, dhs1):
         import numpy as _np
         (dx, ds0, ds1, dw0, db0, db1, du0, dw1, du1) = _time_bwd_impl(
-            residuals, dhs1, keep_prob, cdt)
+            residuals, dhs1, keep_prob, cdt, hard)
         # Cotangent dtypes must match the primals (style streams may be
         # bf16 while the kernel accumulates their grads in f32).
         ds0 = ds0.astype(residuals[1].dtype)
@@ -555,7 +565,8 @@ def _make_time_stack(dtype_name: str, keep_prob: float):
 
 def biax_time_stack(x, s0, s1, w0, b0, b1, u0, w1, u1,
                     dropout_p: float = 0.0, seed: int = 0,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32,
+                    recurrent_activation: str = "sigmoid"):
     """Time-axis fused stack v3.
 
     x:  [T, N, B, F]  raw per-note features (time-major, note-sorted).
@@ -567,7 +578,8 @@ def biax_time_stack(x, s0, s1, w0, b0, b1, u0, w1, u1,
     """
     dt = jnp.dtype(compute_dtype)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    stack = _make_time_stack(dt.name, float(1.0 - dropout_p))
+    stack = _make_time_stack(dt.name, float(1.0 - dropout_p),
+                             recurrent_activation == "hard_sigmoid")
     return stack(x.astype(dt), s0, s1, w0, b0.reshape(-1), b1.reshape(-1),
                  u0, w1, u1, seed_arr)
 
@@ -597,7 +609,7 @@ S_STYLE0C = 5   # style-0 mask stream over the chosen-feature columns
 
 
 def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
-                     tapes: bool = True):
+                     tapes: bool = True, hard: bool = False):
     def kern(seed_ref, ht_ref, ch_ref, s0t_ref, s0c_ref, s1_ref,
              w0t_ref, w0c_ref, b0_ref, b1_ref, u0_ref, w1_ref, u1_ref,
              wh_ref, bh_ref,
@@ -648,7 +660,7 @@ def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
                + jnp.dot(ch_tot, w0c_ref[:],
                          preferred_element_type=jnp.float32)).astype(cdt)
         xw0 = xw0 + b0_ref[:].astype(cdt)
-        h0_new, c0_new = _cell_fwd(xw0, h0_s[:], c0_s[:], u0_ref, cdt, hidden)
+        h0_new, c0_new = _cell_fwd(xw0, h0_s[:], c0_s[:], u0_ref, cdt, hidden, hard)
         if hs0_ref is not None:
             cs0_ref[0] = c0_s[:].astype(cdt).reshape(k, B, hidden)
             hs0_ref[0] = h0_new.astype(cdt).reshape(k, B, hidden)
@@ -663,7 +675,7 @@ def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
         xw1 = (jnp.dot(x1, w1_ref[:],
                        preferred_element_type=jnp.float32).astype(cdt)
                + b1_ref[:].astype(cdt))
-        h1_new, c1_new = _cell_fwd(xw1, h1_s[:], c1_s[:], u1_ref, cdt, hidden)
+        h1_new, c1_new = _cell_fwd(xw1, h1_s[:], c1_s[:], u1_ref, cdt, hidden, hard)
         if hs1_ref is not None:
             cs1_ref[0] = c1_s[:].astype(cdt).reshape(k, B, hidden)
             hs1_ref[0] = h1_new.astype(cdt).reshape(k, B, hidden)
@@ -701,7 +713,8 @@ def _note_fwd_kernel(keep_prob: float, k: int, B: int, dump: bool,
     return kern
 
 
-def _note_bwd_kernel(keep_prob: float, k: int, B: int, N: int):
+def _note_bwd_kernel(keep_prob: float, k: int, B: int, N: int,
+                     hard: bool = False):
     def kern(seed_ref, ht_ref, ch_ref, s0t_ref, s0c_ref, s1_ref,
              w0t_ref, w0c_ref, b0_ref, b1_ref, u0_ref, w1_ref, u1_ref,
              wh_ref, bh_ref,
@@ -776,7 +789,7 @@ def _note_bwd_kernel(keep_prob: float, k: int, B: int, N: int):
                          preferred_element_type=f32)).astype(cdt)
         xw0 = xw0 + b0_ref[:].astype(cdt)
         i0, f0, g0, o0, tanh_c0 = _cell_recompute(
-            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden)
+            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden, hard)
 
         mmid = _mask(seed_ref, S_MID, j, n, (R, hidden), keep_prob, cdt)
         x1m = h0 * mmid if mmid is not None else h0
@@ -787,7 +800,7 @@ def _note_bwd_kernel(keep_prob: float, k: int, B: int, N: int):
                        preferred_element_type=f32).astype(cdt)
                + b1_ref[:].astype(cdt))
         i1, f1, g1, o1, tanh_c1 = _cell_recompute(
-            xw1, h1_prev, c1_prev, u1_ref, cdt, hidden)
+            xw1, h1_prev, c1_prev, u1_ref, cdt, hidden, hard)
 
         m_out = _mask(seed_ref, S_OUT, j, n, (R, hidden), keep_prob, cdt)
         h1d = h1 * m_out if m_out is not None else h1
@@ -810,7 +823,8 @@ def _note_bwd_kernel(keep_prob: float, k: int, B: int, N: int):
         # --- layer 1 backward ----------------------------------------------
         dh1_tot = dh1_s[:] + dh1_from_heads
         dz1, dc1_prev, dh1_prev = _cell_bwd(
-            i1, f1, g1, o1, c1_prev, tanh_c1, dh1_tot, dc1_s[:], u1_ref, cdt)
+            i1, f1, g1, o1, c1_prev, tanh_c1, dh1_tot, dc1_s[:], u1_ref,
+            cdt, hard)
         du1_s[:] += jnp.dot(h1_prev.astype(f32).T, dz1.astype(f32),
                             preferred_element_type=f32)
         db1_s[:] += jnp.sum(dz1.astype(f32), axis=0, keepdims=True)
@@ -824,7 +838,8 @@ def _note_bwd_kernel(keep_prob: float, k: int, B: int, N: int):
 
         # --- layer 0 backward ----------------------------------------------
         dz0, dc0_prev, dh0_prev = _cell_bwd(
-            i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt)
+            i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt,
+            hard)
         dw0t_s[:] += jnp.dot(xt_tot.astype(f32).T, dz0.astype(f32),
                              preferred_element_type=f32)
         dw0c_s[:] += jnp.dot(ch_tot.astype(f32).T, dz0.astype(f32),
@@ -892,7 +907,7 @@ def _note_specs(T, N, B, Ht, C, H, H4, k, fwd: bool):
 
 def _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
                    wh, bh, seed, keep_prob, compute_dtype, dump=False,
-                   tapes=True):
+                   tapes=True, hard=False):
     T, N, B, Ht = ht.shape
     C = ch.shape[-1]
     H4 = u0.shape[1]
@@ -920,7 +935,7 @@ def _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
                        jax.ShapeDtypeStruct((N, T, B, H), cdt)]
 
     outs = pl.pallas_call(
-        _note_fwd_kernel(keep_prob, k, B, dump, tapes),
+        _note_fwd_kernel(keep_prob, k, B, dump, tapes, hard),
         grid=(JT, N),
         in_specs=_note_specs(T, N, B, Ht, C, H, H4, k, fwd=True),
         out_specs=out_specs,
@@ -941,7 +956,7 @@ def _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
     return outs
 
 
-def _note_bwd_impl(residuals, dout, keep_prob, compute_dtype):
+def _note_bwd_impl(residuals, dout, keep_prob, compute_dtype, hard=False):
     (ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1, wh, bh, seed,
      hs0, cs0, hs1, cs1) = residuals
     T, N, B, Ht = ht.shape
@@ -997,7 +1012,7 @@ def _note_bwd_impl(residuals, dout, keep_prob, compute_dtype):
     ]
 
     outs = pl.pallas_call(
-        _note_bwd_kernel(keep_prob, k, B, N),
+        _note_bwd_kernel(keep_prob, k, B, N, hard),
         grid=(JT, N),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1032,7 +1047,8 @@ def _note_bwd_impl(residuals, dout, keep_prob, compute_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_note_stack(dtype_name: str, keep_prob: float):
+def _make_note_stack(dtype_name: str, keep_prob: float,
+                     hard: bool = False):
     cdt = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
@@ -1041,21 +1057,22 @@ def _make_note_stack(dtype_name: str, keep_prob: float):
         # Primal-only (eval) call: skip the backward-residual tapes.
         outs = _note_fwd_impl(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1,
                               u0, w1, u1, wh, bh, seed, keep_prob, cdt,
-                              tapes=False)
+                              tapes=False, hard=hard)
         return outs[0]                                     # [N, T, B, 3]
 
     def fwd_rule(ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1, wh, bh,
                  seed):
         out, hs0, cs0, hs1, cs1 = _note_fwd_impl(
             ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1, wh, bh,
-            seed, keep_prob, cdt)
+            seed, keep_prob, cdt, hard=hard)
         return out, (ht, ch, s0t, s0c, s1, w0t, w0c, b0, b1, u0, w1, u1,
                      wh, bh, seed, hs0, cs0, hs1, cs1)
 
     def bwd_rule(residuals, dout):
         import numpy as _np
         (dht, dch, ds0t, ds0c, ds1, dw0t, dw0c, db0, db1, du0, dw1, du1,
-         dwh, dbh) = _note_bwd_impl(residuals, dout, keep_prob, cdt)
+         dwh, dbh) = _note_bwd_impl(residuals, dout, keep_prob, cdt,
+                                    hard)
         # Match cotangent dtypes to the primals (style streams may be bf16).
         ds0t = ds0t.astype(residuals[2].dtype)
         ds0c = ds0c.astype(residuals[3].dtype)
@@ -1070,7 +1087,8 @@ def _make_note_stack(dtype_name: str, keep_prob: float):
 
 def biax_note_stack(ht, chosen, s0, s1, w0, b0, b1, u0, w1, u1,
                     whead, bhead, dropout_p: float = 0.0, seed: int = 0,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32,
+                    recurrent_activation: str = "sigmoid"):
     """Note-axis fused stack v3 with fused heads.
 
     ht:     [T, N, B, Ht] — the time stack's output (raw; its output
@@ -1087,7 +1105,8 @@ def biax_note_stack(ht, chosen, s0, s1, w0, b0, b1, u0, w1, u1,
     T, N, B, Ht = ht.shape
     C = chosen.shape[-1]
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    stack = _make_note_stack(dt.name, float(1.0 - dropout_p))
+    stack = _make_note_stack(dt.name, float(1.0 - dropout_p),
+                             recurrent_activation == "hard_sigmoid")
     return stack(ht.astype(dt), chosen.astype(dt),
                  s0[..., :Ht], s0[..., Ht:], s1,
                  w0[:Ht], w0[Ht:], b0.reshape(-1), b1.reshape(-1),

@@ -63,15 +63,36 @@ def _sigmoid(x):
     return half * jnp.tanh(half * x) + half
 
 
-def _gate_slices(z, hidden):
-    i = _sigmoid(z[:, :hidden])
-    f = _sigmoid(z[:, hidden:2 * hidden])
-    g = jnp.tanh(z[:, 2 * hidden:3 * hidden])
-    o = _sigmoid(z[:, 3 * hidden:])
+def _hard_sigmoid(x):
+    """Keras 2's hard_sigmoid: clip(0.2x + 0.5, 0, 1) — the recurrent gate
+    of reference-TRAINED weights (deviation #12, docs/MIGRATION.md; the
+    XLA twin is ops/lstm._keras2_hard_sigmoid)."""
+    return jnp.clip(x * jnp.asarray(0.2, x.dtype) + jnp.asarray(0.5, x.dtype),
+                    jnp.asarray(0.0, x.dtype), jnp.asarray(1.0, x.dtype))
+
+
+def _gate_slices(z, hidden, hard: bool = False):
+    act = _hard_sigmoid if hard else _sigmoid
+    i = act(z[:, :hidden])
+    f = act(z[:, hidden:2 * hidden])
+    g = jnp.tanh(z[:, 2 * hidden:3 * hidden])   # cell activation stays tanh
+    o = act(z[:, 3 * hidden:])
     return i, f, g, o
 
 
-def _fwd_kernel(tape: bool = True):
+def _gate_grad(s32, hard: bool):
+    """d(gate)/dz expressed through the gate's OUTPUT s (what the tapes
+    hold): s(1-s) for the logistic; 0.2 on the open unit interval for
+    hard_sigmoid, 0 in saturation.  (TF's clip_by_value passes 0.2 at the
+    exact ±2.5 boundary too — a measure-zero input set; the oracle tests
+    draw continuous inputs so the distinction never materializes.)"""
+    if hard:
+        return (jnp.asarray(0.2, jnp.float32)
+                * ((s32 > 0.0) & (s32 < 1.0)).astype(jnp.float32))
+    return s32 * (1.0 - s32)
+
+
+def _fwd_kernel(tape: bool = True, hard: bool = False):
     """Grid (NB, T): one batch tile × one timestep per invocation.  Scratch
     h_s/c_s persist across the T-innermost iterations of a tile.
     tape=False is the primal-only (eval/streaming) variant — the c_{t-1}
@@ -95,7 +116,7 @@ def _fwd_kernel(tape: bool = True):
         z = (xw_ref[0]
              + jnp.dot(h_s[:].astype(cdt), u_ref[:],
                        preferred_element_type=jnp.float32).astype(cdt))
-        i, f, g, o = _gate_slices(z, hidden)
+        i, f, g, o = _gate_slices(z, hidden, hard)
 
         c_new = f.astype(jnp.float32) * c_s[:] + (i * g).astype(jnp.float32)
         h_new = (o.astype(jnp.float32)
@@ -115,77 +136,85 @@ def _fwd_kernel(tape: bool = True):
     return kern
 
 
-def _bwd_kernel(u_ref, xw_ref, hs_prev_ref, cs_prev_ref, dhs_ref, dcT_ref,
-                dxw_ref, du_ref, dh0_ref, dc0_ref,
-                dh_s, dc_s, du_s):
+def _bwd_kernel(hard: bool = False):
     """Grid (NB, T): step r walks t = T-1-r within each batch tile (tapes are
     pre-reversed along time).  Recomputes the gates from xw + h_prev@U, then
     carries dh/dc in scratch, accumulates dU across the whole grid, streams
     d(xw_t) out.  Terminal cotangents: dhT pre-folded into dhs[T-1]; dcT
     seeds dc_s."""
-    b = pl.program_id(0)
-    NB = pl.num_programs(0)
-    r = pl.program_id(1)
-    T = pl.num_programs(1)
-    cdt = xw_ref.dtype
+    def kern(u_ref, xw_ref, hs_prev_ref, cs_prev_ref, dhs_ref, dcT_ref,
+             dxw_ref, du_ref, dh0_ref, dc0_ref,
+             dh_s, dc_s, du_s):
+        b = pl.program_id(0)
+        NB = pl.num_programs(0)
+        r = pl.program_id(1)
+        T = pl.num_programs(1)
+        cdt = xw_ref.dtype
 
-    @pl.when(r == 0)
-    def _():
-        dh_s[:] = jnp.zeros_like(dh_s)
-        dc_s[:] = dcT_ref[:]
+        @pl.when(r == 0)
+        def _():
+            dh_s[:] = jnp.zeros_like(dh_s)
+            dc_s[:] = dcT_ref[:]
 
-    @pl.when((r == 0) & (b == 0))
-    def _():
-        du_s[:] = jnp.zeros_like(du_s)
+        @pl.when((r == 0) & (b == 0))
+        def _():
+            du_s[:] = jnp.zeros_like(du_s)
 
-    hidden = u_ref.shape[0]
-    h_prev = hs_prev_ref[0]
-    # Recompute the forward gates (identical formulas ⇒ identical values).
-    z = (xw_ref[0] + jnp.dot(h_prev, u_ref[:],
-                             preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gate_slices(z, hidden)
-    c_prev = cs_prev_ref[0].astype(jnp.float32)
+        hidden = u_ref.shape[0]
+        h_prev = hs_prev_ref[0]
+        # Recompute the forward gates (identical formulas ⇒ identical
+        # values).
+        z = (xw_ref[0]
+             + jnp.dot(h_prev, u_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt))
+        i, f, g, o = _gate_slices(z, hidden, hard)
+        c_prev = cs_prev_ref[0].astype(jnp.float32)
 
-    c_new = f.astype(jnp.float32) * c_prev + (i * g).astype(jnp.float32)
-    tanh_c = jnp.tanh(c_new.astype(cdt)).astype(jnp.float32)
+        c_new = f.astype(jnp.float32) * c_prev + (i * g).astype(jnp.float32)
+        tanh_c = jnp.tanh(c_new.astype(cdt)).astype(jnp.float32)
 
-    i32, f32_, g32, o32 = (i.astype(jnp.float32), f.astype(jnp.float32),
-                           g.astype(jnp.float32), o.astype(jnp.float32))
+        i32, f32_, g32, o32 = (i.astype(jnp.float32), f.astype(jnp.float32),
+                               g.astype(jnp.float32), o.astype(jnp.float32))
 
-    dh = dh_s[:] + dhs_ref[0].astype(jnp.float32)
-    do = dh * tanh_c
-    dc = dc_s[:] + dh * o32 * (1.0 - tanh_c * tanh_c)
-    di = dc * g32
-    df = dc * c_prev
-    dg = dc * i32
+        dh = dh_s[:] + dhs_ref[0].astype(jnp.float32)
+        do = dh * tanh_c
+        dc = dc_s[:] + dh * o32 * (1.0 - tanh_c * tanh_c)
+        di = dc * g32
+        df = dc * c_prev
+        dg = dc * i32
 
-    dz = jnp.concatenate([
-        di * i32 * (1.0 - i32),
-        df * f32_ * (1.0 - f32_),
-        dg * (1.0 - g32 * g32),
-        do * o32 * (1.0 - o32),
-    ], axis=-1)
+        dz = jnp.concatenate([
+            di * _gate_grad(i32, hard),
+            df * _gate_grad(f32_, hard),
+            dg * (1.0 - g32 * g32),
+            do * _gate_grad(o32, hard),
+        ], axis=-1)
 
-    dzc = dz.astype(cdt)
-    dxw_ref[0] = dzc
-    # dU += h_{t-1}^T @ dz ; dh_{t-1} = dz @ U^T
-    du_s[:] += jnp.dot(h_prev.T, dzc, preferred_element_type=jnp.float32)
-    dh_prev = jnp.dot(dzc, u_ref[:].T, preferred_element_type=jnp.float32)
+        dzc = dz.astype(cdt)
+        dxw_ref[0] = dzc
+        # dU += h_{t-1}^T @ dz ; dh_{t-1} = dz @ U^T
+        du_s[:] += jnp.dot(h_prev.T, dzc,
+                           preferred_element_type=jnp.float32)
+        dh_prev = jnp.dot(dzc, u_ref[:].T,
+                          preferred_element_type=jnp.float32)
 
-    dh_s[:] = dh_prev
-    dc_s[:] = dc * f32_
+        dh_s[:] = dh_prev
+        dc_s[:] = dc * f32_
 
-    @pl.when(r == T - 1)
-    def _():
-        dh0_ref[:] = dh_prev
-        dc0_ref[:] = (dc * f32_)
+        @pl.when(r == T - 1)
+        def _():
+            dh0_ref[:] = dh_prev
+            dc0_ref[:] = (dc * f32_)
 
-    @pl.when((r == T - 1) & (b == NB - 1))
-    def _():
-        du_ref[:] = du_s[:]
+        @pl.when((r == T - 1) & (b == NB - 1))
+        def _():
+            du_ref[:] = du_s[:]
+
+    return kern
 
 
-def _forward_impl(xw, u, h0, c0, compute_dtype, tape: bool = True):
+def _forward_impl(xw, u, h0, c0, compute_dtype, tape: bool = True,
+                  hard: bool = False):
     T, B, H4 = xw.shape
     H = H4 // 4
     f32 = jnp.float32
@@ -195,7 +224,7 @@ def _forward_impl(xw, u, h0, c0, compute_dtype, tape: bool = True):
     tape_spec = pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0),
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _fwd_kernel(tape),
+        _fwd_kernel(tape, hard),
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec((1, BT, H4), lambda b, t: (t, b, 0),
@@ -237,9 +266,10 @@ def _forward_impl(xw, u, h0, c0, compute_dtype, tape: bool = True):
     return hs, cs_prev, hT, cT
 
 
-def _fwd_rule(xw, u, h0, c0, compute_dtype):
+def _fwd_rule(xw, u, h0, c0, compute_dtype, hard):
     xw = xw.astype(compute_dtype)
-    hs, cs_prev, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype)
+    hs, cs_prev, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype,
+                                        hard=hard)
     residuals = (u, xw, cs_prev, hs, h0)
     # hs stays in the compute dtype: downstream inter-layer ops (dropout,
     # style add) run at half the HBM traffic, and the next layer's matmul
@@ -247,7 +277,7 @@ def _fwd_rule(xw, u, h0, c0, compute_dtype):
     return (hs, (hT, cT)), residuals
 
 
-def _bwd_rule(compute_dtype, residuals, grads):
+def _bwd_rule(compute_dtype, hard, residuals, grads):
     u, xw, cs_prev, hs, h0 = residuals
     dhs, (dhT, dcT) = grads
     T, B, H = hs.shape
@@ -269,7 +299,7 @@ def _bwd_rule(compute_dtype, residuals, grads):
     rev = lambda a: jnp.flip(a, axis=0)
 
     dxw_rev, du, dh0, dc0 = pl.pallas_call(
-        _bwd_kernel,
+        _bwd_kernel(hard),
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec((H, H4), lambda b, r: (0, 0),
@@ -318,34 +348,39 @@ def _bwd_rule(compute_dtype, residuals, grads):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_recurrence(dtype_name: str):
+def _make_recurrence(dtype_name: str, hard: bool = False):
     """Build (and cache) the custom-VJP'd recurrence closed over the compute
-    dtype — dtypes as closure, arrays as arguments."""
+    dtype and gate flavor — static config as closure, arrays as
+    arguments."""
     compute_dtype = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
     def recurrence(xw, u, h0, c0):
         # Primal-only (eval/streaming) call: skip the c_{t-1} tape.
         hs, _, hT, cT = _forward_impl(xw, u, h0, c0, compute_dtype,
-                                      tape=False)
+                                      tape=False, hard=hard)
         return hs, (hT, cT)
 
     def fwd_rule(xw, u, h0, c0):
-        return _fwd_rule(xw, u, h0, c0, compute_dtype)
+        return _fwd_rule(xw, u, h0, c0, compute_dtype, hard)
 
     def bwd_rule(residuals, grads):
-        return _bwd_rule(compute_dtype, residuals, grads)
+        return _bwd_rule(compute_dtype, hard, residuals, grads)
 
     recurrence.defvjp(fwd_rule, bwd_rule)
     return recurrence
 
 
-def pallas_lstm_recurrence(xw, u, h0, c0, compute_dtype=jnp.float32):
+def pallas_lstm_recurrence(xw, u, h0, c0, compute_dtype=jnp.float32,
+                           recurrent_activation: str = "sigmoid"):
     """Fused recurrence: xw [T, B, 4H] (= x@W + b), u [H, 4H], h0/c0 [B, H].
 
     Returns (hs [T, B, H] in compute_dtype, (h_T, c_T) float32).
-    Differentiable w.r.t. xw, u, h0, c0.
+    Differentiable w.r.t. xw, u, h0, c0.  recurrent_activation
+    "hard_sigmoid" runs Keras 2's clipped gates fused (deviation #12).
     """
     dt = jnp.dtype(compute_dtype)
     # Cast up front so the primal/cotangent dtypes agree with the closure.
-    return _make_recurrence(dt.name)(xw.astype(dt), u, h0, c0)
+    return _make_recurrence(dt.name,
+                            recurrent_activation == "hard_sigmoid")(
+        xw.astype(dt), u, h0, c0)

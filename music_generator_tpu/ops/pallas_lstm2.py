@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from music_generator_tpu.ops.pallas_lstm import _gate_slices, _pick_batch_tile
+from music_generator_tpu.ops.pallas_lstm import (_gate_grad, _gate_slices,
+                                                 _pick_batch_tile)
 
 
 def _stack_tiling(B: int, compute_dtype) -> Tuple[int, int]:
@@ -50,29 +51,31 @@ def _stack_tiling(B: int, compute_dtype) -> Tuple[int, int]:
     return BT, B // BT
 
 
-def _cell(z_in, h_scr, c_scr, u_ref, cdt, hidden):
+def _cell(z_in, h_scr, c_scr, u_ref, cdt, hidden, hard=False):
     """One LSTM cell on scratch state; z_in = x-projection (pre-recurrence)."""
     z = (z_in + jnp.dot(h_scr[:].astype(cdt), u_ref[:],
                         preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gate_slices(z, hidden)
+    i, f, g, o = _gate_slices(z, hidden, hard)
     c_new = f.astype(jnp.float32) * c_scr[:] + (i * g).astype(jnp.float32)
     h_new = (o.astype(jnp.float32)
              * jnp.tanh(c_new.astype(cdt)).astype(jnp.float32))
     return h_new, c_new
 
 
-def _recompute_cell(z_in, h_prev, c_prev, u_ref, cdt, hidden):
+def _recompute_cell(z_in, h_prev, c_prev, u_ref, cdt, hidden, hard=False):
     """Recompute gates + states from tapes (backward)."""
     z = (z_in + jnp.dot(h_prev, u_ref[:],
                         preferred_element_type=jnp.float32).astype(cdt))
-    i, f, g, o = _gate_slices(z, hidden)
+    i, f, g, o = _gate_slices(z, hidden, hard)
     c_new = (f.astype(jnp.float32) * c_prev + (i * g).astype(jnp.float32))
     tanh_c = jnp.tanh(c_new.astype(cdt)).astype(jnp.float32)
     return i, f, g, o, tanh_c
 
 
-def _cell_bwd(i, f, g, o, c_prev, tanh_c, dh, dc_carry, u_ref, cdt):
-    """Shared cell backward: returns (dz cdt, dc_prev f32, dh_prev f32)."""
+def _cell_bwd(i, f, g, o, c_prev, tanh_c, dh, dc_carry, u_ref, cdt,
+              hard=False):
+    """Shared cell backward: returns (dz cdt, dc_prev f32, dh_prev f32).
+    Gate derivatives via _gate_grad (sigmoid or Keras-2 hard_sigmoid)."""
     i32, f32_, g32, o32 = (i.astype(jnp.float32), f.astype(jnp.float32),
                            g.astype(jnp.float32), o.astype(jnp.float32))
     do = dh * tanh_c
@@ -81,10 +84,10 @@ def _cell_bwd(i, f, g, o, c_prev, tanh_c, dh, dc_carry, u_ref, cdt):
     df = dc * c_prev
     dg = dc * i32
     dz = jnp.concatenate([
-        di * i32 * (1.0 - i32),
-        df * f32_ * (1.0 - f32_),
+        di * _gate_grad(i32, hard),
+        df * _gate_grad(f32_, hard),
         dg * (1.0 - g32 * g32),
-        do * o32 * (1.0 - o32),
+        do * _gate_grad(o32, hard),
     ], axis=-1).astype(cdt)
     dh_prev = jnp.dot(dz, u_ref[:].T, preferred_element_type=jnp.float32)
     return dz, dc * f32_, dh_prev
@@ -103,7 +106,8 @@ def _mask(seed, b, t, shape, keep_prob, dtype):
     return keep.astype(dtype) * jnp.asarray(1.0 / keep_prob, dtype)
 
 
-def _make_fwd_kernel(keep_prob: float, tapes: bool = True):
+def _make_fwd_kernel(keep_prob: float, tapes: bool = True,
+                     hard: bool = False):
     """tapes=False is the primal-only (eval/inference) variant: the three
     backward-residual tapes (hs0, cs0, cs1) are neither allocated nor
     written — XLA cannot dead-code-eliminate pallas_call outputs, so an
@@ -137,7 +141,7 @@ def _make_fwd_kernel(keep_prob: float, tapes: bool = True):
         xw0 = (jnp.dot(x0_ref[0], w0_ref[:],
                        preferred_element_type=jnp.float32).astype(cdt)
                + b0_ref[:].astype(cdt))
-        h0_new, c0_new = _cell(xw0, h0_s, c0_s, u0_ref, cdt, hidden)
+        h0_new, c0_new = _cell(xw0, h0_s, c0_s, u0_ref, cdt, hidden, hard)
         if tapes:
             cs0_ref[0] = c0_s[:].astype(cdt)
             hs0_ref[0] = h0_new.astype(cdt)
@@ -153,7 +157,7 @@ def _make_fwd_kernel(keep_prob: float, tapes: bool = True):
                + b1_ref[:].astype(cdt))
 
         # Layer 1.
-        h1_new, c1_new = _cell(xw1, h1_s, c1_s, u1_ref, cdt, hidden)
+        h1_new, c1_new = _cell(xw1, h1_s, c1_s, u1_ref, cdt, hidden, hard)
         if tapes:
             cs1_ref[0] = c1_s[:].astype(cdt)
         hs1_ref[0] = h1_new.astype(cdt)
@@ -173,7 +177,7 @@ def _make_fwd_kernel(keep_prob: float, tapes: bool = True):
     return kern
 
 
-def _make_bwd_kernel(keep_prob: float):
+def _make_bwd_kernel(keep_prob: float, hard: bool = False):
     def kern(seed_ref, tidx_ref,
              x0_ref, s1m_ref, w0_ref, b0_ref, b1_ref,
              u0_ref, w1_ref, u1_ref,
@@ -220,7 +224,7 @@ def _make_bwd_kernel(keep_prob: float):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b0_ref[:].astype(cdt))
         i0, f0, g0, o0, tanh_c0 = _recompute_cell(
-            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden)
+            xw0, h0_prev, c0_prev, u0_ref, cdt, hidden, hard)
 
         t_fwd = tidx_ref[0, 0] - r
         m = _mask(seed_ref[0, 0], b, t_fwd, h0.shape, keep_prob, cdt)
@@ -229,12 +233,13 @@ def _make_bwd_kernel(keep_prob: float):
                        preferred_element_type=jnp.float32).astype(cdt)
                + b1_ref[:].astype(cdt))
         i1, f1, g1, o1, tanh_c1 = _recompute_cell(
-            xw1, h1_prev, c1_prev, u1_ref, cdt, hidden)
+            xw1, h1_prev, c1_prev, u1_ref, cdt, hidden, hard)
 
         # Layer-1 backward.
         dh1 = dh1_s[:] + dhs1_ref[0].astype(jnp.float32)
         dz1, dc1_prev, dh1_prev = _cell_bwd(
-            i1, f1, g1, o1, c1_prev, tanh_c1, dh1, dc1_s[:], u1_ref, cdt)
+            i1, f1, g1, o1, c1_prev, tanh_c1, dh1, dc1_s[:], u1_ref, cdt,
+            hard)
         du1_s[:] += jnp.dot(h1_prev.T, dz1, preferred_element_type=jnp.float32)
         db1_s[:] += jnp.sum(dz1.astype(jnp.float32), axis=0, keepdims=True)
         dw1_s[:] += jnp.dot(x1.T, dz1, preferred_element_type=jnp.float32)
@@ -245,7 +250,8 @@ def _make_bwd_kernel(keep_prob: float):
         # Layer-0 backward (hs0 has no external consumers in fused mode).
         dh0 = dh0_s[:] + dh0_from_l1
         dz0, dc0_prev, dh0_prev = _cell_bwd(
-            i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt)
+            i0, f0, g0, o0, c0_prev, tanh_c0, dh0, dc0_s[:], u0_ref, cdt,
+            hard)
         dw0_s[:] += jnp.dot(x0.T, dz0, preferred_element_type=jnp.float32)
         db0_s[:] += jnp.sum(dz0.astype(jnp.float32), axis=0, keepdims=True)
         du0_s[:] += jnp.dot(h0_prev.T, dz0, preferred_element_type=jnp.float32)
@@ -291,7 +297,8 @@ def _state(BT, H):
 
 
 def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
-                  seed, keep_prob, compute_dtype, tapes: bool = True):
+                  seed, keep_prob, compute_dtype, tapes: bool = True,
+                  hard: bool = False):
     T, B, F = x0.shape
     H4 = u0.shape[1]
     H = H4 // 4
@@ -305,7 +312,7 @@ def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
     tape_shapes = ([jax.ShapeDtypeStruct((T, B, H), cdt)
                     for _ in range(4 if tapes else 1)])
     outs = pl.pallas_call(
-        _make_fwd_kernel(keep_prob, tapes),
+        _make_fwd_kernel(keep_prob, tapes, hard),
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,1)
@@ -347,7 +354,8 @@ def _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10,
     return outs
 
 
-def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
+def _bwd_impl(residuals, grads, keep_prob, compute_dtype,
+              hard: bool = False):
     (x0, s1m, w0, b0, b1, u0, w1, u1, h00, h10, seed,
      hs0, cs0, hs1, cs1) = residuals
     dhs1, (dh0T, dc0T, dh1T, dc1T) = grads
@@ -372,7 +380,7 @@ def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
     tidx = jnp.array([[T - 1]], jnp.int32)
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(keep_prob),
+        _make_bwd_kernel(keep_prob, hard),
         grid=(NB, T),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
@@ -440,7 +448,7 @@ def _bwd_impl(residuals, grads, keep_prob, compute_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_stack(dtype_name: str, keep_prob: float):
+def _make_stack(dtype_name: str, keep_prob: float, hard: bool = False):
     compute_dtype = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
@@ -448,13 +456,14 @@ def _make_stack(dtype_name: str, keep_prob: float):
         # Primal-only (eval/streaming) call: skip the backward tapes.
         hs1, h0T, c0T, h1T, c1T = _forward_impl(
             x0, s1m, w0, b0, b1, u0, w1, u1,
-            h00, c00, h10, c10, seed, keep_prob, compute_dtype, tapes=False)
+            h00, c00, h10, c10, seed, keep_prob, compute_dtype, tapes=False,
+            hard=hard)
         return hs1, (h0T, c0T, h1T, c1T)
 
     def fwd_rule(x0, s1m, w0, b0, b1, u0, w1, u1, h00, c00, h10, c10, seed):
         outs = _forward_impl(x0, s1m, w0, b0, b1, u0, w1, u1,
                              h00, c00, h10, c10, seed, keep_prob,
-                             compute_dtype)
+                             compute_dtype, hard=hard)
         hs0, cs0, hs1, cs1, h0T, c0T, h1T, c1T = outs
         residuals = (x0, s1m, w0, b0, b1, u0, w1, u1, h00, h10, seed,
                      hs0, cs0, hs1, cs1)
@@ -464,7 +473,7 @@ def _make_stack(dtype_name: str, keep_prob: float):
         import numpy as _np
         (dx0, ds1m, dw0, db0, db1, du0, dw1, du1,
          dh00, dc00, dh10, dc10) = _bwd_impl(residuals, grads, keep_prob,
-                                             compute_dtype)
+                                             compute_dtype, hard)
         dseed = _np.zeros((1, 1), jax.dtypes.float0)
         return (dx0, ds1m, dw0, db0, db1, du0, dw1, du1,
                 dh00, dc00, dh10, dc10, dseed)
@@ -476,7 +485,8 @@ def _make_stack(dtype_name: str, keep_prob: float):
 def pallas_lstm2(x0, s1m, w0, b0, b1, u0, w1, u1,
                  h00=None, c00=None, h10=None, c10=None,
                  dropout_p: float = 0.0, seed: int = 0,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 recurrent_activation: str = "sigmoid"):
     """Fused two-layer LSTM stack with on-chip input projections.
 
     x0:  [T, B, F] — raw layer-0 input (style-0 term already added).
@@ -504,7 +514,8 @@ def pallas_lstm2(x0, s1m, w0, b0, b1, u0, w1, u1,
         c10 = jnp.zeros((B, H), f32)
     keep_prob = float(1.0 - dropout_p)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    stack = _make_stack(dt.name, keep_prob)
+    stack = _make_stack(dt.name, keep_prob,
+                        recurrent_activation == "hard_sigmoid")
     return stack(x0.astype(dt), s1m.astype(dt), w0,
                  b0.astype(f32).reshape(-1), b1.astype(f32).reshape(-1),
                  u0, w1, u1, h00, c00, h10, c10, seed_arr)

@@ -344,15 +344,15 @@ def test_keras2_hard_sigmoid_gate_mode():
     """Config(lstm_recurrent_activation="hard_sigmoid") — the Keras-2-era
     gate default (clip(0.2x+0.5, 0, 1), deviation #12) for running
     imported reference-trained weights faithfully.  Must change the
-    forward, force the XLA kernel path (the fused kernels are
-    sigmoid-only), and match a hand-stepped hard_sigmoid cell."""
+    forward and match a hand-stepped hard_sigmoid cell.  (Since r5 the
+    gate mode no longer forces the XLA kernel — fused parity is pinned
+    by tests/test_hard_gates.py.)"""
     from music_generator_tpu.config import test_config as sc
     from music_generator_tpu.ops.lstm import lstm_init, lstm_step
 
     cfg_s = sc(lstm_kernel="xla")
-    cfg_h = sc(lstm_kernel="pallas",        # overridden by the gate mode
+    cfg_h = sc(lstm_kernel="xla",
                lstm_recurrent_activation="hard_sigmoid")
-    assert DeepJ(cfg_h)._kernel() == "xla"
 
     p = init_params(jax.random.key(0), cfg_s)
     notes, chosen, beat, style = _batch(jax.random.key(8), B=2, T=4)
