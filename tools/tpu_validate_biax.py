@@ -15,8 +15,12 @@ Checks, at flagship default_config dims, batch 16:
   3. One real train step on each path from identical state: loss delta.
 
 Run on the TPU box:  python tools/tpu_validate_biax.py
+With --gates hard_sigmoid, the same checks run on the Keras-2 hard-sigmoid
+gate branch (deviation #12, r5: fused on every kernel) — the compiled-Mosaic
+proof behind tests/test_hard_gates.py's interpret-mode pins.
 """
 
+import argparse
 import os
 import sys
 
@@ -24,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gates", default="sigmoid",
+                        choices=["sigmoid", "hard_sigmoid"],
+                        help="LSTM recurrent (gate) activation to validate")
+    args = parser.parse_args()
+
     from music_generator_tpu.utils.compile_cache import enable
     enable()
 
@@ -35,8 +45,10 @@ def main():
     from music_generator_tpu.models.deepj import DeepJ, init_params
 
     print("backend:", jax.default_backend())
+    print("gates:", args.gates)
     base = default_config().replace(batch_size=16, input_dropout=0.0,
-                                    dropout=0.0)
+                                    dropout=0.0,
+                                    lstm_recurrent_activation=args.gates)
     variants = {
         "fused-bf16": base.replace(lstm_kernel="pallas"),
         "xla-bf16": base.replace(lstm_kernel="xla"),
