@@ -552,69 +552,13 @@ class Sampler:
         return np.stack([play, replay, np.asarray(pulled_vol, np.float32)],
                         axis=-1)
 
-    def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
-                 seed: int = 0, chunk_bars: int = 8,
-                 temperature=None,
-                 stream_offset: int = 0,
-                 pad_to: Optional[int] = None,
-                 prime: Optional[np.ndarray] = None,
-                 pad_partial_chunk: bool = False,
-                 seeds: Optional[Sequence[int]] = None,
-                 stream_indices: Optional[Sequence[int]] = None,
-                 ) -> GenerationResult:
-        """Generate `num_bars` bars for each style mixture, entirely
-        on-device (ref: generate.py:98-121's API, minus the host loop).
-
-        The piece streams in fixed-size compiled chunks: unbounded --bars
-        never recompiles, and the recurrent/temperature/RNG state crosses
-        chunk boundaries exactly (chunking does not change the output).
-        `temperature` is a traced runtime value — varying it never triggers
-        a recompile (one Sampler serves any temperature).
-
-        With a mesh, a batch that doesn't divide the device count is padded
-        with copies of the last style mixture to the next multiple (the
-        same bucket trick serving uses) and the padding is sliced off the
-        result — G=3 genre mixtures run fine on 8 chips.  Since deviation
-        #10 the per-stream uniforms are indexed by (seed, stream_offset + g,
-        t), NOT drawn as one batch-shaped block — so the padded auto-mesh
-        run is byte-equal to the unpadded single-chip run, and stream g here
-        equals a solo run of the same mixture at stream_offset=g
-        (tests/test_generation.py pins both; certified cross-backend by
-        tools/check_fidelity.py's mesh variant).
-
-        `pad_to` additionally pads the batch to a multiple of that size
-        even without a mesh — the serving bucket / certification hook.
-
-        `prime`: an optional CLAMPED piano roll ([T_p, num_notes, 3] shared
-        by every stream, or [G, T_p, num_notes, 3] per-stream) that the
-        model continues FROM: the streaming state is teacher-forced through
-        it (no sampling, no randomness consumed), then `num_bars` bars are
-        generated starting at absolute step T_p.  The result contains the
-        continuation only — callers concatenate the prime back if they want
-        the full piece (`prepend_prime`; cli.generate_main does).
-
-        `pad_partial_chunk`: run the final partial chunk at the FULL
-        chunk length and slice the surplus steps off.  Byte-identical
-        output (the scan is causal and deviation #10's uniforms are
-        indexed by absolute step, so a kept prefix is unaffected by how
-        far past it the scan ran) at the cost of up to chunk_bars-1 bars
-        of discarded compute — worth it wherever a compile stalls the
-        caller: _chunk_jit's step count is STATIC, so every distinct tail
-        length is otherwise its own multi-minute relay compile (serving
-        always opts in; pinned by
-        test_generation.py::test_pad_partial_chunk_is_byte_identical).
-
-        `seeds` / `stream_indices` / a per-stream `temperature` sequence
-        give each stream its OWN (seed, global index, temperature) triple
-        — the coalescing hook behind serving's dynamic request batching:
-        stream g's bytes equal the solo run
-        `generate([styles[g]], seed=seeds[g], stream_offset=indices[g],
-        temperature=temps[g])` exactly (deviation #10 keys are computed
-        per element; the adaptive-temperature machine is per-stream
-        already), so heterogeneous requests can share one device call
-        byte-transparently.  Each must have len(styles) entries; both
-        default to the homogeneous `seed` / `stream_offset + g` scheme."""
-        cfg = self.cfg
+    def _begin_streams(self, styles, seed, temperature, stream_offset,
+                       pad_to, seeds, stream_indices):
+        """Validate + pad the stream batch, compute the style embedding,
+        and build the initial per-stream carry — everything `generate`
+        does before its chunk loop, shared with `begin` (the incremental
+        surface serving's time-sliced scheduler drives).  Returns
+        (style_emb, state, styles_np, G_real)."""
         if not styles:
             # `styles[-1]` in the pad expression below would otherwise
             # raise an opaque IndexError (review r4).
@@ -678,17 +622,6 @@ class Sampler:
                 style_emb = self.model.style_embedding(self.params,
                                                        styles_arr)
 
-        if num_bars < 0:
-            # Otherwise the chunk loop never runs and the assembly below
-            # dereferences None (review r4: `--bars -1` raised an opaque
-            # TypeError; serving clamps independently, the CLI doesn't).
-            raise ValueError(f"num_bars must be >= 0, got {num_bars}")
-        gen_steps = cfg.notes_per_bar * num_bars
-        num_steps = gen_steps
-        if pad_partial_chunk:
-            chunk = cfg.notes_per_bar * chunk_bars
-        else:
-            chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
         if temperature is None:
             temp = self.default_temp
         elif np.ndim(temperature) == 0:
@@ -707,12 +640,122 @@ class Sampler:
                                        dtype=np.uint32))
             temps_full = np.broadcast_to(np.asarray(temp, np.float32),
                                          (G_pad,))
-            setup_jit, chunk_fn, _, _ = self._mp_fns()
+            setup_jit, _, _, _ = self._mp_fns()
             state = setup_jit(seeds_full, idx_full, temps_full)
         else:
-            state = self._init_state(styles_arr.shape[0], jnp.uint32(seed),
+            state = self._init_state(styles_np.shape[0], jnp.uint32(seed),
                                      temp, stream_offset, seeds=seeds,
                                      stream_indices=stream_indices)
+        return style_emb, state, styles_np, G_real
+
+    def begin(self, styles: Sequence[np.ndarray], *, chunk_bars: int = 8,
+              seed: int = 0, temperature=None, stream_offset: int = 0,
+              pad_to: Optional[int] = None,
+              seeds: Optional[Sequence[int]] = None,
+              stream_indices: Optional[Sequence[int]] = None,
+              ) -> "ActiveGeneration":
+        """Open an INCREMENTAL generation: same stream semantics as
+        `generate` (per-stream (seed, index, temperature) triples, mesh /
+        bucket padding), but the caller drives the chunk loop one slice at
+        a time via the returned handle's `advance()` — between slices the
+        recurrent carry simply stays parked in device memory.
+
+        This is the hook behind serving's time-sliced scheduler
+        (continuous batching): a long request's device time is consumed in
+        bounded chunk-sized slices, so a short interactive request only
+        ever waits for the slice in flight, never a whole long piece.
+        Byte contract: `begin(...)` followed by `advance()` calls produces
+        the EXACT bytes of `generate(..., pad_partial_chunk=True,
+        chunk_bars=chunk_bars)` — it runs the same chunk executables at
+        the same absolute steps (deviation #10 uniforms are step-indexed),
+        whatever the slicing (pinned by
+        tests/test_generation.py::test_begin_advance_matches_generate)."""
+        style_emb, state, styles_np, G_real = self._begin_streams(
+            styles, seed, temperature, stream_offset, pad_to, seeds,
+            stream_indices)
+        chunk_steps = self.cfg.notes_per_bar * chunk_bars
+        return ActiveGeneration(self, style_emb, state, styles_np, G_real,
+                                chunk_steps)
+
+    def generate(self, styles: Sequence[np.ndarray], num_bars: int = 32,
+                 seed: int = 0, chunk_bars: int = 8,
+                 temperature=None,
+                 stream_offset: int = 0,
+                 pad_to: Optional[int] = None,
+                 prime: Optional[np.ndarray] = None,
+                 pad_partial_chunk: bool = False,
+                 seeds: Optional[Sequence[int]] = None,
+                 stream_indices: Optional[Sequence[int]] = None,
+                 ) -> GenerationResult:
+        """Generate `num_bars` bars for each style mixture, entirely
+        on-device (ref: generate.py:98-121's API, minus the host loop).
+
+        The piece streams in fixed-size compiled chunks: unbounded --bars
+        never recompiles, and the recurrent/temperature/RNG state crosses
+        chunk boundaries exactly (chunking does not change the output).
+        `temperature` is a traced runtime value — varying it never triggers
+        a recompile (one Sampler serves any temperature).
+
+        With a mesh, a batch that doesn't divide the device count is padded
+        with copies of the last style mixture to the next multiple (the
+        same bucket trick serving uses) and the padding is sliced off the
+        result — G=3 genre mixtures run fine on 8 chips.  Since deviation
+        #10 the per-stream uniforms are indexed by (seed, stream_offset + g,
+        t), NOT drawn as one batch-shaped block — so the padded auto-mesh
+        run is byte-equal to the unpadded single-chip run, and stream g here
+        equals a solo run of the same mixture at stream_offset=g
+        (tests/test_generation.py pins both; certified cross-backend by
+        tools/check_fidelity.py's mesh variant).
+
+        `pad_to` additionally pads the batch to a multiple of that size
+        even without a mesh — the serving bucket / certification hook.
+
+        `prime`: an optional CLAMPED piano roll ([T_p, num_notes, 3] shared
+        by every stream, or [G, T_p, num_notes, 3] per-stream) that the
+        model continues FROM: the streaming state is teacher-forced through
+        it (no sampling, no randomness consumed), then `num_bars` bars are
+        generated starting at absolute step T_p.  The result contains the
+        continuation only — callers concatenate the prime back if they want
+        the full piece (`prepend_prime`; cli.generate_main does).
+
+        `pad_partial_chunk`: run the final partial chunk at the FULL
+        chunk length and slice the surplus steps off.  Byte-identical
+        output (the scan is causal and deviation #10's uniforms are
+        indexed by absolute step, so a kept prefix is unaffected by how
+        far past it the scan ran) at the cost of up to chunk_bars-1 bars
+        of discarded compute — worth it wherever a compile stalls the
+        caller: _chunk_jit's step count is STATIC, so every distinct tail
+        length is otherwise its own multi-minute relay compile (serving
+        always opts in; pinned by
+        test_generation.py::test_pad_partial_chunk_is_byte_identical).
+
+        `seeds` / `stream_indices` / a per-stream `temperature` sequence
+        give each stream its OWN (seed, global index, temperature) triple
+        — the coalescing hook behind serving's dynamic request batching:
+        stream g's bytes equal the solo run
+        `generate([styles[g]], seed=seeds[g], stream_offset=indices[g],
+        temperature=temps[g])` exactly (deviation #10 keys are computed
+        per element; the adaptive-temperature machine is per-stream
+        already), so heterogeneous requests can share one device call
+        byte-transparently.  Each must have len(styles) entries; both
+        default to the homogeneous `seed` / `stream_offset + g` scheme."""
+        cfg = self.cfg
+        if num_bars < 0:
+            # Otherwise the chunk loop never runs and the assembly below
+            # dereferences None (review r4: `--bars -1` raised an opaque
+            # TypeError; serving clamps independently, the CLI doesn't).
+            raise ValueError(f"num_bars must be >= 0, got {num_bars}")
+        style_emb, state, styles_np, G_real = self._begin_streams(
+            styles, seed, temperature, stream_offset, pad_to, seeds,
+            stream_indices)
+        if self._mp:
+            _, chunk_fn, _, _ = self._mp_fns()
+        gen_steps = cfg.notes_per_bar * num_bars
+        num_steps = gen_steps
+        if pad_partial_chunk:
+            chunk = cfg.notes_per_bar * chunk_bars
+        else:
+            chunk = min(num_steps, cfg.notes_per_bar * chunk_bars)
         prime_steps = 0
         if prime is not None and prime.shape[-3] > 0:
             prime = np.asarray(prime, np.float32)
@@ -764,6 +807,51 @@ class Sampler:
                                      np.asarray(pending[1])))
         notes = np.concatenate(pieces, axis=1)[:G_real, :gen_steps]
         return GenerationResult(notes, styles_np[:G_real])
+
+
+class ActiveGeneration:
+    """An open incremental generation: per-stream carry parked on device
+    between `advance()` calls.  Create via `Sampler.begin`."""
+
+    def __init__(self, sampler: Sampler, style_emb, state, styles_np,
+                 G_real: int, chunk_steps: int):
+        self._sampler = sampler
+        self._style_emb = style_emb
+        self._state = state
+        self.styles_np = styles_np
+        self.G_real = G_real
+        self.chunk_steps = chunk_steps
+        self.t = 0                     # absolute step of the next chunk
+
+    def advance(self, num_chunks: int = 1) -> np.ndarray:
+        """Run `num_chunks` full compiled chunks and return their notes,
+        assembled, real streams only: [G_real, num_chunks*chunk_steps,
+        num_notes, 3].  The carry advances; successive calls continue the
+        same pieces."""
+        s = self._sampler
+        pieces = []
+        for _ in range(num_chunks):
+            if s._mp:
+                _, chunk_fn, _, _ = s._mp_fns()
+                self._state, out = chunk_fn(s.params, self._style_emb,
+                                            self._state, self.chunk_steps,
+                                            np.int32(self.t))
+            else:
+                self._state, out = s._chunk_jit(s.params, self._style_emb,
+                                                self._state,
+                                                self.chunk_steps,
+                                                jnp.int32(self.t))
+            pieces.append(s._assemble(np.asarray(out[0]),
+                                      np.asarray(out[1]))[:self.G_real])
+            self.t += self.chunk_steps
+        return np.concatenate(pieces, axis=1)
+
+    def close(self) -> None:
+        """Release the parked device state (the handle is unusable
+        after).  Serving calls this when a job finishes; the multi-host
+        replay proxy also ships it so followers free their handles."""
+        self._state = None
+        self._style_emb = None
 
 
 def prepend_prime(notes: np.ndarray, prime: np.ndarray) -> np.ndarray:

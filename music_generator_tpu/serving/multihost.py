@@ -10,12 +10,13 @@ first collective.  HTTP requests, however, arrive only at one host.
 The protocol here is a replay channel, not a second RPC system:
 
   * process 0 (the LEADER) serves HTTP exactly like the single-host server.
-    `lead()` wraps its service's sampler so that every `generate()` call
-    first ships its arguments — styles, seeds, stream indices,
-    temperatures, bars, bucket padding, prime rolls — to every follower
-    over a length-prefixed TCP channel, then runs the real call.  All
-    sampler calls already serialize under the service's execution lock, so
-    the replay order IS the execution order.
+    `lead()` wraps its service's sampler so that every `generate()` call —
+    and every time-sliced job's `begin()`/`advance()`/`close()` — first
+    ships its arguments (styles, seeds, stream indices, temperatures,
+    bars, bucket padding, prime rolls; job ids for slices) to every
+    follower over a length-prefixed TCP channel, then runs the real call.
+    All sampler calls already serialize under the service's execution
+    lock, so the replay order IS the execution order, slice for slice.
   * every other process (a FOLLOWER) builds the identical service (same
     CLI flags → the same warmup call sequence, which is why warmup needs
     no channel: it is deterministic from the flags) and then sits in
@@ -80,27 +81,44 @@ class Channel:
 
 
 class _ReplaySampler:
-    """Leader-side sampler wrapper: ship each generate() to the followers,
-    then run it locally.  Attribute reads fall through to the real sampler
-    (the service touches `.cfg` and friends)."""
+    """Leader-side sampler wrapper: ship each generate()/begin()/advance()
+    to the followers, then run it locally.  Attribute reads fall through
+    to the real sampler (the service touches `.cfg` and friends)."""
 
     def __init__(self, sampler, channels: Sequence[Channel]):
         self._real = sampler
         self._channels = list(channels)
         self._send_lock = threading.Lock()
+        self._next_job = 0
 
     def __getattr__(self, name):
         return getattr(self._real, name)
 
-    def generate(self, styles, **kwargs):
-        # numpy-ify so the frame is self-contained (no jax arrays cross).
-        payload = ("generate",
-                   [np.asarray(s, np.float32) for s in styles],
-                   kwargs)
+    def _send(self, payload) -> None:
         with self._send_lock:
             for ch in self._channels:
                 ch.send(payload)
+
+    def generate(self, styles, **kwargs):
+        # numpy-ify so the frame is self-contained (no jax arrays cross).
+        self._send(("generate",
+                    [np.asarray(s, np.float32) for s in styles],
+                    kwargs))
         return self._real.generate(styles, **kwargs)
+
+    def begin(self, styles, **kwargs):
+        """Open an incremental generation on EVERY host (serving's
+        time-sliced jobs): followers park the same carry and replay each
+        advance — the calls all serialize under the service's execution
+        lock, so replay order is execution order, slice for slice."""
+        with self._send_lock:
+            job_id = self._next_job
+            self._next_job += 1
+        self._send(("begin", job_id,
+                    [np.asarray(s, np.float32) for s in styles],
+                    kwargs))
+        return _ReplayActive(self, job_id, self._real.begin(styles,
+                                                            **kwargs))
 
     def stop_followers(self) -> None:
         with self._send_lock:
@@ -110,6 +128,28 @@ class _ReplaySampler:
                 except (OSError, ConnectionError):
                     pass
                 ch.close()
+
+
+class _ReplayActive:
+    """Leader-side ActiveGeneration wrapper: ship each advance()/close()
+    to the followers under the job id begin() assigned, then run it
+    locally."""
+
+    def __init__(self, proxy: _ReplaySampler, job_id: int, real):
+        self._proxy = proxy
+        self._job_id = job_id
+        self._real = real
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def advance(self, num_chunks: int = 1):
+        self._proxy._send(("advance", self._job_id, num_chunks))
+        return self._real.advance(num_chunks)
+
+    def close(self) -> None:
+        self._proxy._send(("drop", self._job_id))
+        self._real.close()
 
 
 def lead(service, host: str, port: int, n_followers: int,
@@ -149,16 +189,32 @@ def follow(service, host: str, port: int, timeout: float = 300.0) -> int:
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     ch = Channel(sock)
     replayed = 0
+    actives = {}      # job id → this host's parked ActiveGeneration
     try:
         while True:
             try:
                 msg = ch.recv()
             except ConnectionError:
                 break                      # leader went away: shut down too
-            if msg[0] == "stop":
+            kind = msg[0]
+            if kind == "stop":
                 break
-            _, styles, kwargs = msg
-            service._sampler.generate(list(styles), **kwargs)
+            if kind == "generate":
+                _, styles, kwargs = msg
+                service._sampler.generate(list(styles), **kwargs)
+            elif kind == "begin":          # time-sliced serving jobs
+                _, job_id, styles, kwargs = msg
+                actives[job_id] = service._sampler.begin(list(styles),
+                                                         **kwargs)
+            elif kind == "advance":
+                _, job_id, num_chunks = msg
+                actives[job_id].advance(num_chunks)
+            elif kind == "drop":
+                gen = actives.pop(msg[1], None)
+                if gen is not None:
+                    gen.close()
+            else:
+                raise ValueError(f"unknown replay verb: {kind!r}")
             replayed += 1
     finally:
         ch.close()

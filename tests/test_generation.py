@@ -517,6 +517,28 @@ def test_pad_partial_chunk_is_byte_identical(sampler):
     np.testing.assert_array_equal(e2.notes, p2.notes)
 
 
+def test_begin_advance_matches_generate(sampler):
+    """The incremental surface (Sampler.begin / ActiveGeneration.advance —
+    serving's time-sliced scheduler hook): chunks driven one slice at a
+    time, with the carry parked on device between calls, produce the EXACT
+    bytes of one generate() call over the same span, however the advance
+    calls are grouped."""
+    styles = [compute_genre(0, CFG), compute_genre(2, CFG)]
+    spb = CFG.notes_per_bar
+    whole = sampler.generate(styles, num_bars=6, seed=11, chunk_bars=2,
+                             temperature=[1.0, 0.8], seeds=[11, 12],
+                             stream_indices=[3, 7],
+                             pad_partial_chunk=True)
+    gen = sampler.begin(styles, chunk_bars=2, temperature=[1.0, 0.8],
+                        seeds=[11, 12], stream_indices=[3, 7])
+    # 3 chunks of 2 bars, driven as 1 + 2: slicing must be invisible.
+    part1 = gen.advance(1)
+    part2 = gen.advance(2)
+    assert part1.shape[1] == 2 * spb and part2.shape[1] == 4 * spb
+    np.testing.assert_array_equal(
+        np.concatenate([part1, part2], axis=1), whole.notes)
+
+
 def test_out_of_range_seed_rejected(sampler):
     """jnp.uint32 would raise an opaque OverflowError under NumPy 2 for
     seeds outside [0, 2^32); the sampler surfaces the contract as a

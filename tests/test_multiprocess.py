@@ -215,8 +215,11 @@ def test_two_process_serving_matches_single_process(tmp_path):
 
     r0 = json.load(open(out + ".0"))
     r1 = json.load(open(out + ".1"))
-    # The follower replayed exactly the leader's post-warmup device calls.
-    assert r1["replayed"] == 3, r1
+    # The follower replayed exactly the leader's post-warmup calls: the
+    # coalescable /generate runs as a time-sliced job (begin + advance +
+    # drop = 3 frames), the /generate_batch and the primed /generate are
+    # direct generate calls (1 frame each).
+    assert r1["replayed"] == 5, r1
 
     # Single-process oracle: same service construction, same requests, on
     # THIS process's 8 devices.

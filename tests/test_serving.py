@@ -277,7 +277,7 @@ def test_coalesce_bars_ratio_bounds_surplus(service):
     """Bars-aware coalescing: a coalesced batch only mixes requests whose
     bars are within coalesce_bars_ratio (default 4x) of each other, so a
     short request never rides a long co-rider's device call.  Queue
-    1-bar, 8-bar, and 2-bar requests: the first (FIFO-anchored) drain
+    1-bar, 8-bar, and 2-bar requests: the first (shortest-anchored) drain
     takes {1, 2} and leaves the 8-bar request queued; the second drain
     takes it — two device calls, every response still byte-equal solo."""
     from music_generator_tpu.serving.server import _Pending
@@ -299,6 +299,114 @@ def test_coalesce_bars_ratio_bounds_surplus(service):
     assert service.device_calls == before + 2
     for r in reqs:
         assert r.error is None
+        solo = service.generate_batch([r.mixture], bars=r.bars, seed=r.seed,
+                                      temperature=r.temperature)[0]
+        assert r.result == solo
+
+
+def test_shortest_group_drains_first(service):
+    """Shortest-group-first selection: a 1-bar request enqueued AFTER two
+    64-bar requests still anchors the next drain (it preempts queued —
+    not in-flight — long groups), so an interactive request's latency
+    under long co-traffic is bounded by one in-flight call plus its own
+    short call, not by winning an arrival race (r5 fix; the bench's
+    mixed_bars workload measures exactly this)."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 0})
+    longs = [_Pending(mix, 64, 31, 1.0), _Pending(mix, 64, 32, 1.0)]
+    short = _Pending(mix, 1, 33, 1.0)
+    with service._pending_lock:
+        service._pending.extend(longs + [short])
+    with service._lock:
+        service._run_pending_locked()
+    assert short.done.is_set() and short.error is None
+    assert not longs[0].done.is_set() and not longs[1].done.is_set()
+    assert all(r.skips == 1 for r in longs)
+    for _ in range(64 // service.slice_bars + 2):   # 8 slices + slack
+        if all(r.done.is_set() for r in longs):
+            break
+        with service._lock:
+            service._run_pending_locked()
+    for r in longs:
+        assert r.done.is_set() and r.error is None
+
+
+def test_aged_request_anchors_despite_shorter_traffic(service):
+    """Anti-starvation aging: a request skipped coalesce_max_skips times
+    anchors the next batch even when shorter requests are pending, so a
+    1-bar flood delays a 64-bar request by at most max_skips short
+    calls."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 1})
+    long_req = _Pending(mix, 16, 41, 1.0)
+    long_req.skips = service.coalesce_max_skips
+    shorts = [_Pending(mix, 1, 42, 1.0), _Pending(mix, 1, 43, 1.0)]
+    with service._pending_lock:
+        service._pending.extend([long_req] + shorts)
+    with service._lock:
+        service._run_pending_locked()     # starts the aged 16-bar job
+    assert not long_req.done.is_set()     # 16 bars > one 8-bar slice
+    assert long_req in [r for j in service._jobs for r in j.batch]
+    assert not shorts[0].done.is_set()    # outside 4x of the 16-bar anchor
+    for _ in range(6):
+        if long_req.done.is_set() and all(r.done.is_set() for r in shorts):
+            break
+        with service._lock:
+            service._run_pending_locked()
+    assert long_req.done.is_set() and long_req.error is None
+    for r in shorts:
+        assert r.done.is_set() and r.error is None
+
+
+def test_time_sliced_job_interleaves_and_matches_solo(service):
+    """Continuous batching: a 24-bar job parks between 8-bar slices; a
+    1-bar request that arrives mid-job is served on the very next
+    alternation pass (it never waits for the job to finish), and the
+    interleaved job's bytes still equal its solo run exactly."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 2})
+    long_req = _Pending(mix, 24, 51, 1.0)
+    with service._pending_lock:
+        service._pending.append(long_req)
+    with service._lock:
+        service._run_pending_locked()     # starts the job, slice 1/3
+    assert not long_req.done.is_set() and len(service._jobs) == 1
+    short = _Pending(mix, 1, 52, 1.0)
+    with service._pending_lock:
+        service._pending.append(short)
+    with service._lock:
+        service._run_pending_locked()     # job's turn: slice 2/3
+    with service._lock:
+        service._run_pending_locked()     # pending's turn: the short
+    assert short.done.is_set() and short.error is None
+    assert not long_req.done.is_set()     # still one slice to go
+    with service._lock:
+        service._run_pending_locked()     # slice 3/3
+    assert long_req.done.is_set() and long_req.error is None
+    for r in (long_req, short):
+        solo = service.generate_batch([r.mixture], bars=r.bars, seed=r.seed,
+                                      temperature=r.temperature)[0]
+        assert r.result == solo
+
+
+def test_rider_completes_at_its_own_bars(service):
+    """Per-slice early completion: a 4-bar rider coalesced with a 16-bar
+    request (within the 4x ratio) finishes after the FIRST slice — it
+    doesn't wait for its longest co-rider's piece."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 0})
+    rider = _Pending(mix, 4, 61, 1.0)
+    long_req = _Pending(mix, 16, 62, 1.0)
+    with service._pending_lock:
+        service._pending.extend([rider, long_req])
+    with service._lock:
+        service._run_pending_locked()     # one batch (16 <= 4*4), slice 1
+    assert rider.done.is_set() and rider.error is None
+    assert not long_req.done.is_set()
+    with service._lock:
+        service._run_pending_locked()     # slice 2 finishes the long one
+    assert long_req.done.is_set() and long_req.error is None
+    for r in (rider, long_req):
         solo = service.generate_batch([r.mixture], bars=r.bars, seed=r.seed,
                                       temperature=r.temperature)[0]
         assert r.result == solo

@@ -29,7 +29,7 @@ request→response latency for the serving workloads:
 Each workload reports every rep chronologically (this box's relay has
 transient slow windows — CLAUDE.md; per-rep lists make them visible),
 median/min, and derived per-piece + per-timestep costs.  Writes a JSON
-artifact; commit it under artifacts/serving_bench_r4/.
+artifact; commit it under artifacts/serving_bench_r{N}/.
 
 Run on the TPU box from /root/repo:  python tools/bench_serving.py
 (CPU smoke: JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/bench_serving.py --reps 2)
