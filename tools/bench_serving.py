@@ -17,12 +17,14 @@ request→response latency for the serving workloads:
              rep (coalescing visible as device_calls << 16; the
              sequential baseline for the same traffic is 16 x solo).
   mixed_bars — 1-bar interactive requests timed WHILE 64-bar co-traffic
-             hammers the service: the bars-aware coalescing workload
-             (r5).  Without the coalesce_bars_ratio grouping a 1-bar
-             request could ride a 64-bar batch and pay its full device
-             time; with it the short request's p50/p95 should sit near
-             the quiet-service 1-bar baseline plus at most one 64-bar
-             call's queueing delay (it never COMPUTES 64 bars).
+             hammers the service: the time-sliced-scheduling workload
+             (r5).  Long batches run as parked jobs in slice_bars
+             slices, so the short request's p50/p95 sits near the
+             quiet-service baseline plus one slice in flight and one
+             scheduling round — never a whole 64-bar piece.  The
+             unbounded control (grouping disabled) measures the rider
+             path: early completion returns it at its own bars after
+             the job's first slice.
   overload — a burst past max_pending: counts HTTP 503 sheds vs 200s
              (bounded admission, r5).
 
@@ -225,10 +227,11 @@ def main(argv=None):
         t0 = time.perf_counter()
         _post(url, "/generate", {"genre": 0, "bars": 1, "seed": 9200 + rep})
         busy.append(round((time.perf_counter() - t0) * 1e3, 1))
-    # Counterfactual: disable the grouping (ratio → huge) so the short
-    # request RIDES the 64-bar batches — it then pays the co-riders' full
-    # device compute instead of at most one in-flight call's queueing
-    # delay.  The delta is what coalesce_bars_ratio buys.
+    # Control: disable the grouping (ratio → huge) so the short request
+    # RIDES the 64-bar jobs — per-slice early completion returns it at
+    # its own bars after the job's next slice, so both policies are
+    # bounded; the artifact records both so the scheduler's contract is
+    # visible at the surface.
     saved_ratio = service.coalesce_bars_ratio
     service.coalesce_bars_ratio = 1 << 30
     busy_unbounded = []
