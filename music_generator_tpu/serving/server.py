@@ -43,6 +43,9 @@ deployment story for the TPU build.  Design points:
 
 API:
   GET  /healthz                  → {"status": "ok"}
+  GET  /stats                    → queue/scheduler occupancy (operator
+                                   surface: pending, jobs, device_calls,
+                                   max_pending, max_batch, slice_bars)
   POST /generate                 → audio/midi bytes
        {"styles": [0, 3],        # style indices to mix (mean of one-hots),
         "genre": 1,              # ...or a genre id (uniform mixture),
@@ -546,6 +549,21 @@ def make_handler(service: GenerationService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                # Operator surface: queue/scheduler occupancy for sizing
+                # a deployment (docs/SERVING.md).  Snapshot reads under
+                # the pending lock; device_calls is a monotone counter.
+                with service._pending_lock:
+                    pending = len(service._pending)
+                jobs = len(service._jobs)
+                self._json(200, {
+                    "pending": pending,
+                    "jobs": jobs,
+                    "device_calls": service.device_calls,
+                    "max_pending": service.max_pending,
+                    "max_batch": service.max_batch,
+                    "slice_bars": service.slice_bars,
+                })
             else:
                 self._json(404, {"error": "unknown path"})
 

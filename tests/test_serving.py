@@ -48,6 +48,21 @@ def test_healthz(server):
         assert json.loads(r.read()) == {"status": "ok"}
 
 
+def test_stats_reports_scheduler_occupancy(server, service):
+    """GET /stats: the operator surface for sizing a deployment — queue
+    depth, parked jobs, device-call counter, and the configured bounds."""
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["pending"] == 0 and s["jobs"] == len(service._jobs)
+    assert s["max_pending"] == service.max_pending
+    assert s["max_batch"] == service.max_batch
+    assert s["slice_bars"] == service.slice_bars
+    before = s["device_calls"]
+    _post(server, {"genre": 0, "bars": 1, "seed": 3}).read()
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        assert json.loads(r.read())["device_calls"] > before
+
+
 def test_generate_returns_valid_midi(server):
     with _post(server, {"genre": 0, "bars": 1, "seed": 5}) as r:
         assert r.headers["Content-Type"] == "audio/midi"
