@@ -116,6 +116,12 @@ def generate_main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     _enable_compile_cache()
+    # Multi-host pods: initialize jax.distributed BEFORE any backend touch
+    # so the sampler's process_count>1 path (sharded streams, replicated
+    # notes) engages — without this every pod host silently generates
+    # independently on its local chips (review r5 finding; train_main has
+    # had the same call since r3).
+    maybe_init_distributed()
     cfg = default_config()
     if args.quantize_volume:
         cfg = cfg.replace(gen_volume_quantize=True)

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from music_generator_tpu.ops.pallas_lstm import (_gate_grad, _gate_slices,
-                                                 _hard_sigmoid, _sigmoid)
+                                                 _sigmoid)
 from music_generator_tpu.ops.pallas_lstm2 import _cell_bwd
 
 

@@ -117,8 +117,18 @@ class _ReplaySampler:
         self._send(("begin", job_id,
                     [np.asarray(s, np.float32) for s in styles],
                     kwargs))
-        return _ReplayActive(self, job_id, self._real.begin(styles,
-                                                            **kwargs))
+        try:
+            real = self._real.begin(styles, **kwargs)
+        except Exception:
+            # The frame already shipped: send the drop so no follower
+            # parks a handle for a job the leader never opened (review
+            # r5 — an abandoned job id would leak follower state).  A
+            # pre-dispatch validation failure raises identically on
+            # every host, so the followers' begin also failed and the
+            # drop is a no-op there.
+            self._send(("drop", job_id))
+            raise
+        return _ReplayActive(self, job_id, real)
 
     def stop_followers(self) -> None:
         with self._send_lock:
@@ -201,11 +211,23 @@ def follow(service, host: str, port: int, timeout: float = 300.0) -> int:
                 break
             if kind == "generate":
                 _, styles, kwargs = msg
-                service._sampler.generate(list(styles), **kwargs)
+                try:
+                    service._sampler.generate(list(styles), **kwargs)
+                except Exception:
+                    # Pre-dispatch validation fails identically on the
+                    # leader (which answers the HTTP request with the
+                    # error); the follower must outlive it.  A DEVICE-
+                    # level failure is unrecoverable cluster-wide either
+                    # way (a collective half-entered).
+                    pass
             elif kind == "begin":          # time-sliced serving jobs
                 _, job_id, styles, kwargs = msg
-                actives[job_id] = service._sampler.begin(list(styles),
-                                                         **kwargs)
+                try:
+                    actives[job_id] = service._sampler.begin(list(styles),
+                                                             **kwargs)
+                except Exception:
+                    pass      # leader's identical begin failed too and
+                              # sends a drop; never advances this job id
             elif kind == "advance":
                 _, job_id, num_chunks = msg
                 actives[job_id].advance(num_chunks)

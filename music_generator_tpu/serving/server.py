@@ -408,7 +408,15 @@ class GenerationService:
                         batch.append(r)
                         lo, hi = nlo, nhi
                         continue
-                r.skips += 1
+                    # Only RATIO rejections age (the starvation the anchor
+                    # override guards against is bars-class starvation).
+                    # Capacity skips are ordinary backpressure — counting
+                    # them would age the whole queue under load > max_batch
+                    # and collapse shortest-first into FIFO, putting an
+                    # interactive request behind every queued long group
+                    # (review r5 finding).  Same-class order is FIFO
+                    # already: selection walks _pending in arrival order.
+                    r.skips += 1
                 rest.append(r)
             self._pending = rest
         return batch
@@ -452,6 +460,17 @@ class GenerationService:
             # don't already have a result or their own error (advisor r4:
             # the old path overwrote every sibling's fate).
             job.bars_done = job.bars_max      # don't requeue
+            # Best-effort close: frees the parked device carry and, on the
+            # multi-host replay channel, sends 'drop' so every follower
+            # releases its handle for this job — an abandoned job must not
+            # leak follower state forever (review r5 finding).
+            close = getattr(job.gen, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+            job.parts.clear()
             for r in job.batch:
                 if r.result is None and r.error is None:
                     r.error = e
@@ -731,6 +750,12 @@ def serve_main(argv=None) -> None:
                              "serving/multihost.py)")
     args = parser.parse_args(argv)
 
+    # Multi-host pods: initialize jax.distributed BEFORE any backend touch
+    # (even process_count() initializes XLA) so the lead/follow replay
+    # branch below can fire at all — without this every pod host silently
+    # serves independently on its local chips (review r5 finding).
+    from music_generator_tpu.training.trainer import maybe_init_distributed
+    maybe_init_distributed()
     from music_generator_tpu.utils.compile_cache import enable
     enable()
     cfg = default_config()

@@ -277,15 +277,37 @@ class Trainer:
             # device d owns a contiguous [block_len] block.
             n_local = len(ds)
             padded = -(-n_local // ldc) * ldc
-            idx = np.arange(padded) % n_local
             sharding = NamedSharding(self.mesh, P("data"))
-            if nproc > 1:
-                resident = tuple(jax.make_array_from_process_local_data(
-                    sharding, np.ascontiguousarray(a[idx]))
-                    for a in ds_arrays)
-            else:
-                resident = tuple(jax.device_put(a[idx], sharding)
-                                 for a in ds_arrays)
+
+            def _stage(a):
+                # Never materialize a full fancy-indexed host copy: at
+                # exactly the corpus sizes this mode exists for, a[idx]
+                # would transiently double host RAM (review r5 finding —
+                # run_big_corpus keeps leaves as views into one shared
+                # buffer for the same reason).  Unpadded leaves ship
+                # as-is; a padded single-process leaf stages per-device
+                # blocks via callback, so only the one wrapped final
+                # block is ever copied.
+                if padded == n_local:
+                    if nproc > 1:
+                        return jax.make_array_from_process_local_data(
+                            sharding, a)
+                    return jax.device_put(a, sharding)
+                if nproc > 1:
+                    idx = np.arange(padded) % n_local
+                    return jax.make_array_from_process_local_data(
+                        sharding, np.ascontiguousarray(a[idx]))
+
+                def cb(sl):
+                    lo = sl[0].start or 0
+                    hi = padded if sl[0].stop is None else sl[0].stop
+                    if hi <= n_local:
+                        return a[lo:hi]          # pure view, no host copy
+                    return a[np.arange(lo, hi) % n_local]
+                return jax.make_array_from_callback(
+                    (padded,) + a.shape[1:], sharding, cb)
+
+            resident = tuple(_stage(a) for a in ds_arrays)
             block_len = padded // ldc
         elif mode == "segments":
             if self._segment_step is None:

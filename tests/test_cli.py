@@ -105,6 +105,18 @@ def test_generate_prime_continuation_only(captured, tmp_path, monkeypatch):
     assert captured["result"].notes.shape[1] == 2 * CFG.notes_per_bar
 
 
+def test_generate_main_initializes_distributed(captured, monkeypatch):
+    """generate_main calls maybe_init_distributed() before any backend
+    touch — without it a pod host silently generates single-process on
+    its local chips (review r5; the sampler's process_count>1 path and
+    serving's lead/follow branch both depend on the init having fired)."""
+    calls = []
+    monkeypatch.setattr(cli, "maybe_init_distributed",
+                        lambda: calls.append(True))
+    cli.generate_main(["--bars", "1", "--styles", "0"])
+    assert calls == [True]
+
+
 def test_generate_sweep_interpolates_two_styles(captured):
     cli.generate_main(["--sweep", "0", "5", "4", "--temperature", "0.9"])
     styles = captured["styles"]

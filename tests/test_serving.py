@@ -373,6 +373,77 @@ def test_aged_request_anchors_despite_shorter_traffic(service):
         assert r.done.is_set() and r.error is None
 
 
+def test_capacity_skip_does_not_age_ratio_reject_does(service):
+    """Anti-starvation aging counts only RATIO rejections: a request left
+    queued because the batch hit max_batch must NOT age, or under load >
+    max_batch the whole queue ages to the anchor override and
+    shortest-group-first collapses into FIFO — an interactive request
+    would then wait behind every queued long group (review r5 fix)."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 0})
+    shorts = [_Pending(mix, 1, i, 1.0)
+              for i in range(service.max_batch + 2)]
+    long_req = _Pending(mix, 8, 99, 1.0)    # outside 4x of a 1-bar anchor
+    with service._pending_lock:
+        # The long request sits near the front so selection examines it
+        # while the batch still has capacity (a pure ratio rejection).
+        service._pending.extend([shorts[0], long_req] + shorts[1:])
+    batch = service._select_batch()
+    try:
+        assert len(batch) == service.max_batch
+        assert long_req.skips == 1          # ratio rejection ages
+        leftover = [r for r in shorts if r not in batch]
+        assert leftover and all(r.skips == 0 for r in leftover)
+    finally:
+        with service._pending_lock:         # don't leak into other tests
+            service._pending = []
+
+
+def test_failed_advance_closes_job_handle(service):
+    """A device-call failure mid-job must close the incremental handle —
+    freeing the parked device carry and (on the multi-host replay
+    channel) sending the followers their 'drop' — and fail the members
+    (review r5: the old path leaked the handle forever)."""
+    from music_generator_tpu.serving.server import _Job, _Pending
+
+    class FakeGen:
+        closed = 0
+
+        def advance(self, num_chunks=1):
+            raise RuntimeError("device lost")
+
+        def close(self):
+            self.closed += 1
+
+    mix = service.resolve_mixture({"genre": 0})
+    r = _Pending(mix, 8, 7, 1.0)
+    gen = FakeGen()
+    job = _Job([r], gen, bars_max=8)
+    service._advance_job(job)
+    assert gen.closed == 1
+    assert r.done.is_set() and isinstance(r.error, RuntimeError)
+    assert job.bars_done >= job.bars_max and not job.parts
+
+
+def test_serve_main_initializes_distributed(monkeypatch):
+    """serve_main calls maybe_init_distributed() before any backend touch
+    (even process_count() initializes XLA) — without it the multi-host
+    lead/follow branch is unreachable and every pod host silently serves
+    single-process (review r5)."""
+    import music_generator_tpu.training.trainer as trainer_mod
+    calls = []
+
+    def fake():
+        calls.append(True)
+        raise SystemExit(0)       # stop before building a real service
+
+    monkeypatch.setattr(trainer_mod, "maybe_init_distributed", fake)
+    from music_generator_tpu.serving.server import serve_main
+    with pytest.raises(SystemExit):
+        serve_main(["--port", "0"])
+    assert calls == [True]
+
+
 def test_time_sliced_job_interleaves_and_matches_solo(service):
     """Continuous batching: a 24-bar job parks between 8-bar slices; a
     1-bar request that arrives mid-job is served on the very next

@@ -442,6 +442,38 @@ def test_sharded_epoch_scan_matches_per_step_oracle(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_staging_wrap_pad_matches_dense(tmp_path):
+    """Uneven sharded staging (len(ds) % device_count != 0) stages
+    per-device blocks via callback so only the wrapped FINAL block is
+    ever copied on the host (review r5: the old a[idx] materialized a
+    second full corpus at exactly the sizes this mode exists for).  Pin
+    its semantics: fitting n=13 equals fitting the explicitly
+    wrap-padded n=16 dataset — identical block geometry, rng stream,
+    losses, and final params."""
+    cfg = small_config(batch_size=8, out_dir=str(tmp_path / "a"))
+    model = DeepJ(cfg)
+    ds = _synthetic_dataset(cfg, n=13)
+    t1 = Trainer(model, TrainConfig(epochs=2, tensorboard=False,
+                                    checkpoint=False, seed=5,
+                                    epoch_scan_mode="sharded"))
+    h1 = t1.fit(ds)
+    assert h1["epoch_scan_mode"] == "sharded"
+
+    idx = np.arange(16) % 13                    # fit()'s wrap-pad, dense
+    dense = Dataset(ds.notes[idx], ds.targets[idx], ds.beats[idx],
+                    ds.styles[idx])
+    cfg2 = small_config(batch_size=8, out_dir=str(tmp_path / "b"))
+    t2 = Trainer(DeepJ(cfg2), TrainConfig(epochs=2, tensorboard=False,
+                                          checkpoint=False, seed=5,
+                                          epoch_scan_mode="sharded"))
+    h2 = t2.fit(dense)
+    assert h2["epoch_scan_mode"] == "sharded"
+    np.testing.assert_array_equal(h1["loss"], h2["loss"])
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_segment_epoch_matches_streaming_exactly(tmp_path):
     """The segment-staged path consumes the IDENTICAL batch stream as the
     per-step streaming path (epoch_permutation is shared), including a
