@@ -42,8 +42,10 @@ from __future__ import annotations
 import pickle
 import socket
 import struct
+import sys
 import threading
 import time
+import traceback
 from typing import Sequence
 
 import numpy as np
@@ -200,6 +202,7 @@ def follow(service, host: str, port: int, timeout: float = 300.0) -> int:
     ch = Channel(sock)
     replayed = 0
     actives = {}      # job id → this host's parked ActiveGeneration
+    failed = {}       # job id → exception this host's begin raised
     try:
         while True:
             try:
@@ -225,13 +228,25 @@ def follow(service, host: str, port: int, timeout: float = 300.0) -> int:
                 try:
                     actives[job_id] = service._sampler.begin(list(styles),
                                                              **kwargs)
-                except Exception:
-                    pass      # leader's identical begin failed too and
-                              # sends a drop; never advances this job id
+                except Exception as e:
+                    # A pre-dispatch validation failure raised identically
+                    # on the leader too (which sends a drop and never
+                    # advances this job id) — but a HOST-LOCAL failure
+                    # must not be silent: remember the root cause so a
+                    # subsequent 'advance' fails with IT, not a masking
+                    # KeyError (review r5 finding).
+                    failed[job_id] = e
+                    traceback.print_exc(file=sys.stderr)
             elif kind == "advance":
                 _, job_id, num_chunks = msg
+                if job_id in failed:
+                    raise RuntimeError(
+                        f"leader advanced job {job_id} whose begin failed "
+                        f"on this follower (leader/follower state has "
+                        f"diverged)") from failed[job_id]
                 actives[job_id].advance(num_chunks)
             elif kind == "drop":
+                failed.pop(msg[1], None)
                 gen = actives.pop(msg[1], None)
                 if gen is not None:
                     gen.close()

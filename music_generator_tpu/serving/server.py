@@ -460,17 +460,7 @@ class GenerationService:
             # don't already have a result or their own error (advisor r4:
             # the old path overwrote every sibling's fate).
             job.bars_done = job.bars_max      # don't requeue
-            # Best-effort close: frees the parked device carry and, on the
-            # multi-host replay channel, sends 'drop' so every follower
-            # releases its handle for this job — an abandoned job must not
-            # leak follower state forever (review r5 finding).
-            close = getattr(job.gen, "close", None)
-            if close is not None:
-                try:
-                    close()
-                except Exception:
-                    pass
-            job.parts.clear()
+            self._finalize_job(job)
             for r in job.batch:
                 if r.result is None and r.error is None:
                     r.error = e
@@ -490,10 +480,25 @@ class GenerationService:
                     r.error = e
                 r.done.set()
         if finished:
-            close = getattr(job.gen, "close", None)
-            if close is not None:
-                close()               # replay proxies free the follower's
-            job.parts.clear()         # handle; drop host notes either way
+            self._finalize_job(job)
+
+    @staticmethod
+    def _finalize_job(job: "_Job") -> None:
+        """Close the job's device handle — freeing the parked carry and,
+        on the multi-host replay channel, sending the followers their
+        'drop' — and release host notes.  Best-effort on BOTH the failure
+        and the finished path: a broken follower channel at close time
+        must not turn already-delivered results into an exception on the
+        serving thread (review r5 — the finished path was unguarded).
+        Pinned by tests/test_serving.py::
+        test_finished_job_close_failure_keeps_results."""
+        close = getattr(job.gen, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+        job.parts.clear()
 
     def generate_batch(self, mixtures, bars: int = 8, seed: int = 0,
                        temperature: float = 1.0, prime=None,

@@ -285,27 +285,41 @@ class Trainer:
                 # would transiently double host RAM (review r5 finding —
                 # run_big_corpus keeps leaves as views into one shared
                 # buffer for the same reason).  Unpadded leaves ship
-                # as-is; a padded single-process leaf stages per-device
-                # blocks via callback, so only the one wrapped final
-                # block is ever copied.
+                # as-is; padded leaves stage per-device blocks via
+                # callback — each in-range block is a pure view, so only
+                # the one wrapped final block per host is ever copied.
+                # Multi-process too (review r5 follow-up: the pod branch
+                # kept the full a[idx] copy): every host holds `padded`
+                # rows (Dataset.shard pads shards to EQUAL length, so
+                # `padded` agrees across hosts) and the callback maps the
+                # global row range to local rows by this host's offset.
                 if padded == n_local:
                     if nproc > 1:
                         return jax.make_array_from_process_local_data(
                             sharding, a)
                     return jax.device_put(a, sharding)
-                if nproc > 1:
+                g_rows = padded * nproc
+                gshape = (g_rows,) + a.shape[1:]
+                idx_map = sharding.addressable_devices_indices_map(gshape)
+                starts = [sl[0].start or 0 for sl in idx_map.values()]
+                stops = [g_rows if sl[0].stop is None else sl[0].stop
+                         for sl in idx_map.values()]
+                host_lo = min(starts)
+                if max(stops) - host_lo != padded:
+                    # Unexpected non-contiguous local rows in the mesh
+                    # order: correctness fallback (dense local copy).
                     idx = np.arange(padded) % n_local
                     return jax.make_array_from_process_local_data(
                         sharding, np.ascontiguousarray(a[idx]))
 
                 def cb(sl):
-                    lo = sl[0].start or 0
-                    hi = padded if sl[0].stop is None else sl[0].stop
+                    lo = (sl[0].start or 0) - host_lo
+                    hi = (g_rows if sl[0].stop is None
+                          else sl[0].stop) - host_lo
                     if hi <= n_local:
                         return a[lo:hi]          # pure view, no host copy
                     return a[np.arange(lo, hi) % n_local]
-                return jax.make_array_from_callback(
-                    (padded,) + a.shape[1:], sharding, cb)
+                return jax.make_array_from_callback(gshape, sharding, cb)
 
             resident = tuple(_stage(a) for a in ds_arrays)
             block_len = padded // ldc

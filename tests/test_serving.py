@@ -425,6 +425,72 @@ def test_failed_advance_closes_job_handle(service):
     assert job.bars_done >= job.bars_max and not job.parts
 
 
+def test_finished_job_close_failure_keeps_results(service):
+    """The FINISHED-path close is best-effort too: a broken multi-host
+    replay channel at close time (close() raising) must not turn a job's
+    already-computed results into an exception on the serving thread —
+    members keep their MIDI bytes and the job still releases host notes
+    (review r5: the finished path was unguarded while the failure path
+    was)."""
+    from music_generator_tpu.serving.server import _Job, _Pending
+    spb = CFG.notes_per_bar
+
+    class FakeGen:
+        def advance(self, num_chunks=1):
+            return np.zeros(
+                (1, service.slice_bars * spb, CFG.num_notes, 3), np.float32)
+
+        def close(self):
+            raise ConnectionError("follower channel broken")
+
+    mix = service.resolve_mixture({"genre": 0})
+    r = _Pending(mix, service.slice_bars, 3, 1.0)
+    job = _Job([r], FakeGen(), bars_max=service.slice_bars)
+    service._advance_job(job)                  # must not raise
+    assert r.done.is_set() and r.error is None
+    assert r.result is not None and r.result[:4] == b"MThd"
+    assert not job.parts
+
+
+def test_follower_begin_failure_surfaces_on_advance():
+    """A HOST-LOCAL begin() failure on a follower must not be silently
+    swallowed: if the leader (whose begin succeeded) then advances that
+    job, the follower fails with the ORIGINAL begin exception chained as
+    the cause — not a root-cause-masking KeyError (review r5)."""
+    import socket
+    from music_generator_tpu.serving import multihost
+
+    class FakeSampler:
+        def begin(self, styles, **kw):
+            raise ValueError("host-local failure during begin")
+
+    class FakeService:
+        _sampler = FakeSampler()
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def leader():
+        conn, _addr = srv.accept()
+        ch = multihost.Channel(conn)
+        ch.send(("begin", 7, [], {}))
+        ch.send(("advance", 7, 1))
+        try:                       # hold the socket open until the
+            ch.recv()              # follower errors out and closes
+        except Exception:
+            pass
+
+    t = threading.Thread(target=leader, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(RuntimeError, match="leader advanced job 7") as ei:
+            multihost.follow(FakeService(), "127.0.0.1", port, timeout=10)
+        assert isinstance(ei.value.__cause__, ValueError)
+    finally:
+        srv.close()
+        t.join(timeout=5)
+
+
 def test_serve_main_initializes_distributed(monkeypatch):
     """serve_main calls maybe_init_distributed() before any backend touch
     (even process_count() initializes XLA) — without it the multi-host
