@@ -173,6 +173,20 @@ class DeepJ:
 
     cfg: Config
 
+    def __post_init__(self):
+        # Validate the gate flavor at the single construction chokepoint:
+        # the fused kernel stacks translate it via `== "hard_sigmoid"`, so
+        # an unknown value (e.g. the typo "hard-sigmoid") would otherwise
+        # SILENTLY run sigmoid gates on the fused path — the exact
+        # substitution the pre-r5 xla-only routing failed loudly on
+        # (review r5 finding; ops/lstm.py raises for its own path only).
+        from music_generator_tpu.ops.lstm import _RECURRENT_ACTIVATIONS
+        if self.cfg.lstm_recurrent_activation not in _RECURRENT_ACTIVATIONS:
+            raise ValueError(
+                f"unknown lstm_recurrent_activation="
+                f"{self.cfg.lstm_recurrent_activation!r}; expected one of "
+                f"{sorted(_RECURRENT_ACTIVATIONS)}")
+
     # -- helpers ----------------------------------------------------------
 
     def _dt(self):

@@ -40,8 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from music_generator_tpu.ops.pallas_lstm import (_gate_grad, _gate_slices,
-                                                 _sigmoid)
+from music_generator_tpu.ops.pallas_lstm import _gate_slices, _sigmoid
 from music_generator_tpu.ops.pallas_lstm2 import _cell_bwd
 
 

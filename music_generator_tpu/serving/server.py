@@ -44,7 +44,8 @@ deployment story for the TPU build.  Design points:
 API:
   GET  /healthz                  → {"status": "ok"}
   GET  /stats                    → queue/scheduler occupancy (operator
-                                   surface: pending, jobs, device_calls,
+                                   surface: pending, active [in-flight in
+                                   parked jobs], jobs, device_calls,
                                    max_pending, max_batch, slice_bars)
   POST /generate                 → audio/midi bytes
        {"styles": [0, 3],        # style indices to mix (mean of one-hots),
@@ -175,6 +176,12 @@ class GenerationService:
         self._job_turn = False       # alternate jobs vs new batches
         self._pending: list = []
         self._pending_lock = threading.Lock()
+        # In-flight coalesced requests (selected into a batch/job, not yet
+        # done): admission sheds on pending + active, or sustained long
+        # traffic would drain the queue into an UNBOUNDED set of parked
+        # jobs — each holding a device carry — that max_pending never saw
+        # (review r5 finding).  Guarded by _pending_lock.
+        self._active = 0
         # Instrumentation: device calls made (coalescing visible as
         # device_calls < requests served; tools/bench_serving.py reports it).
         self.device_calls = 0
@@ -316,9 +323,13 @@ class GenerationService:
                 f"mixture must have {self.cfg.num_styles} entries")
         req = _Pending(mixture, bars, seed, temperature)
         with self._pending_lock:
-            if len(self._pending) >= self.max_pending:
+            # max_pending bounds ALL unretired coalesced requests — queued
+            # AND selected into parked jobs — so time-sliced scheduling
+            # can't grow device-carry/host memory past the admission cap.
+            in_flight = len(self._pending) + self._active
+            if in_flight >= self.max_pending:
                 raise ServiceOverloaded(
-                    f"{len(self._pending)} requests already pending "
+                    f"{in_flight} requests already in flight "
                     f"(max_pending={self.max_pending}); retry later")
             self._pending.append(req)
         while not req.done.is_set():
@@ -402,24 +413,37 @@ class GenerationService:
             for r in self._pending:
                 if r is anchor:
                     continue
-                if len(batch) < self.max_batch:
-                    nlo, nhi = min(lo, r.bars), max(hi, r.bars)
-                    if nhi <= ratio * nlo:
-                        batch.append(r)
-                        lo, hi = nlo, nhi
-                        continue
-                    # Only RATIO rejections age (the starvation the anchor
-                    # override guards against is bars-class starvation).
-                    # Capacity skips are ordinary backpressure — counting
-                    # them would age the whole queue under load > max_batch
-                    # and collapse shortest-first into FIFO, putting an
-                    # interactive request behind every queued long group
-                    # (review r5 finding).  Same-class order is FIFO
+                nlo, nhi = min(lo, r.bars), max(hi, r.bars)
+                fits_ratio = nhi <= ratio * nlo
+                if len(batch) < self.max_batch and fits_ratio:
+                    batch.append(r)
+                    lo, hi = nlo, nhi
+                    continue
+                if not fits_ratio:
+                    # Only bars-RATIO rejections age (the starvation the
+                    # anchor override guards against is bars-class
+                    # starvation) — INCLUDING when the batch is also at
+                    # capacity: at max_batch=1 every pass fills instantly,
+                    # and without this a long request facing steady short
+                    # traffic would never age and starve forever (review
+                    # r5 finding).  Pure capacity skips are ordinary
+                    # backpressure — counting them would age the whole
+                    # queue under load > max_batch and collapse
+                    # shortest-first into FIFO.  Same-class order is FIFO
                     # already: selection walks _pending in arrival order.
                     r.skips += 1
                 rest.append(r)
             self._pending = rest
+            self._active += len(batch)
         return batch
+
+    def _retire(self, n: int) -> None:
+        """Release n coalesced requests from the in-flight admission count
+        (every request selected by _select_batch is retired exactly once,
+        at whichever point sets its done event)."""
+        if n:
+            with self._pending_lock:
+                self._active -= n
 
     def _start_job(self, batch: list) -> None:
         """Open the incremental generation for a batch and run its first
@@ -440,6 +464,7 @@ class GenerationService:
                 if r.result is None and r.error is None:
                     r.error = e
                 r.done.set()
+            self._retire(len(batch))
             return
         job = _Job(batch, gen, bars_max=max(r.bars for r in batch))
         self._advance_job(job)
@@ -461,12 +486,15 @@ class GenerationService:
             # the old path overwrote every sibling's fate).
             job.bars_done = job.bars_max      # don't requeue
             self._finalize_job(job)
+            n_new = sum(1 for r in job.batch if not r.done.is_set())
             for r in job.batch:
                 if r.result is None and r.error is None:
                     r.error = e
                 r.done.set()
+            self._retire(n_new)
             return
         finished = job.bars_done >= job.bars_max
+        n_new = 0
         for i, r in enumerate(job.batch):
             if r.done.is_set():
                 continue
@@ -479,6 +507,8 @@ class GenerationService:
                 except Exception as e:    # noqa: BLE001 — per-request fate
                     r.error = e
                 r.done.set()
+                n_new += 1
+        self._retire(n_new)
         if finished:
             self._finalize_job(job)
 
@@ -579,9 +609,11 @@ def make_handler(service: GenerationService):
                 # the pending lock; device_calls is a monotone counter.
                 with service._pending_lock:
                     pending = len(service._pending)
+                    active = service._active
                 jobs = len(service._jobs)
                 self._json(200, {
                     "pending": pending,
+                    "active": active,
                     "jobs": jobs,
                     "device_calls": service.device_calls,
                     "max_pending": service.max_pending,

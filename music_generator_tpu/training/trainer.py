@@ -450,8 +450,14 @@ class Trainer:
         losses: list = []
         base_step = int(self.state.step)
         t0 = time.perf_counter()
+        # depth=1 (not the default 2): the scan's current segment plus ONE
+        # staged ahead is exactly the two-buffer budget _seg_steps is sized
+        # for; depth=2 would keep a THIRD segment resident (~1.5x the
+        # declared epoch_scan_max_bytes) with no extra overlap to gain —
+        # staging k+1 already fully hides behind scanning k (review r5).
         for staged in prefetch(
-                (perm[k * seg:(k + 1) * seg] for k in range(n_full)), stage):
+                (perm[k * seg:(k + 1) * seg] for k in range(n_full)), stage,
+                depth=1):
             self.state, metrics = self._segment_step(self.state, staged)
             losses.extend(float(v) for v in np.asarray(metrics["loss"]))
         for s in range(n_full * seg, S):

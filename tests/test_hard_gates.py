@@ -258,3 +258,16 @@ def test_model_kernel_no_longer_forces_xla_for_hard_gates():
     m = DeepJ(test_config(lstm_kernel="pallas",
                           lstm_recurrent_activation=HARD))
     assert m._kernel() == "pallas"
+
+
+def test_unknown_recurrent_activation_fails_loudly():
+    """The fused stacks translate the gate flavor via `== "hard_sigmoid"`,
+    so an unknown value (e.g. the dash typo) would SILENTLY run sigmoid
+    gates — exactly what the pre-r5 xla-only routing raised on.  DeepJ
+    construction is the chokepoint: it must reject anything outside the
+    registry (review r5 finding)."""
+    from music_generator_tpu.config import test_config
+    from music_generator_tpu.models.deepj import DeepJ
+
+    with pytest.raises(ValueError, match="lstm_recurrent_activation"):
+        DeepJ(test_config(lstm_recurrent_activation="hard-sigmoid"))

@@ -54,6 +54,7 @@ def test_stats_reports_scheduler_occupancy(server, service):
     with urllib.request.urlopen(server + "/stats", timeout=30) as r:
         s = json.loads(r.read())
     assert s["pending"] == 0 and s["jobs"] == len(service._jobs)
+    assert s["active"] == service._active
     assert s["max_pending"] == service.max_pending
     assert s["max_batch"] == service.max_batch
     assert s["slice_bars"] == service.slice_bars
@@ -397,6 +398,78 @@ def test_capacity_skip_does_not_age_ratio_reject_does(service):
     finally:
         with service._pending_lock:         # don't leak into other tests
             service._pending = []
+            service._active = 0
+
+
+def test_long_request_ages_at_max_batch_one(service):
+    """At max_batch=1 every selection fills instantly, so a long request
+    facing steady short traffic is only ever capacity-blocked — it must
+    still age via the RATIO term (it IS a bars-class victim) and anchor
+    after coalesce_max_skips passes, or it starves forever (review r5:
+    aging previously required spare capacity at examination time)."""
+    from music_generator_tpu.serving.server import _Pending
+    saved = service.max_batch
+    service.max_batch = 1
+    mix = service.resolve_mixture({"genre": 0})
+    long_req = _Pending(mix, 64, 9, 1.0)
+    try:
+        with service._pending_lock:
+            service._pending.append(long_req)
+        for k in range(service.coalesce_max_skips):
+            with service._pending_lock:
+                service._pending.append(_Pending(mix, 1, k, 1.0))
+            batch = service._select_batch()
+            assert [r.bars for r in batch] == [1]   # short anchors...
+            assert long_req.skips == k + 1          # ...but the long ages
+        with service._pending_lock:
+            service._pending.append(_Pending(mix, 1, 99, 1.0))
+        assert service._select_batch() == [long_req]   # aged anchor
+    finally:
+        service.max_batch = saved
+        with service._pending_lock:
+            service._pending = []
+            service._active = 0
+
+
+def test_admission_counts_parked_jobs(service):
+    """max_pending bounds queued PLUS in-flight requests: a request
+    selected into a parked job still counts toward admission until its
+    done event is set — otherwise sustained long traffic drains the queue
+    into unbounded parked jobs, each holding a device carry, that
+    max_pending never sees (review r5)."""
+    from music_generator_tpu.serving.server import ServiceOverloaded
+    saved = service.max_pending
+    service.max_pending = 2
+    mix = service.resolve_mixture({"genre": 0})
+    try:
+        with service._pending_lock:
+            service._active = 2          # two requests parked in jobs
+        with pytest.raises(ServiceOverloaded):
+            service._coalesced(mix, 1, 0, 1.0)
+    finally:
+        service.max_pending = saved
+        with service._pending_lock:
+            service._active = 0
+            service._pending = []
+
+
+def test_retire_balances_selection(service):
+    """Every request _select_batch admits to the in-flight count is
+    retired exactly once — through per-slice early completion, the
+    finished path, or the failure path — so _active returns to zero after
+    any mix of outcomes (the admission bound would otherwise ratchet
+    shut)."""
+    from music_generator_tpu.serving.server import _Pending
+    mix = service.resolve_mixture({"genre": 0})
+    reqs = [_Pending(mix, bars, i, 1.0)
+            for i, bars in enumerate([1, 8, 16])]
+    with service._pending_lock:
+        service._pending.extend(reqs)
+    with service._lock:
+        while any(not r.done.is_set() for r in reqs):
+            service._run_pending_locked()
+    assert all(r.error is None and r.result[:4] == b"MThd" for r in reqs)
+    assert service._active == 0 and not service._jobs
 
 
 def test_failed_advance_closes_job_handle(service):
@@ -419,7 +492,11 @@ def test_failed_advance_closes_job_handle(service):
     r = _Pending(mix, 8, 7, 1.0)
     gen = FakeGen()
     job = _Job([r], gen, bars_max=8)
-    service._advance_job(job)
+    try:
+        service._advance_job(job)
+    finally:
+        with service._pending_lock:   # job bypassed _select_batch: undo
+            service._active = 0       # its retire so _active stays exact
     assert gen.closed == 1
     assert r.done.is_set() and isinstance(r.error, RuntimeError)
     assert job.bars_done >= job.bars_max and not job.parts
@@ -446,7 +523,11 @@ def test_finished_job_close_failure_keeps_results(service):
     mix = service.resolve_mixture({"genre": 0})
     r = _Pending(mix, service.slice_bars, 3, 1.0)
     job = _Job([r], FakeGen(), bars_max=service.slice_bars)
-    service._advance_job(job)                  # must not raise
+    try:
+        service._advance_job(job)              # must not raise
+    finally:
+        with service._pending_lock:   # job bypassed _select_batch: undo
+            service._active = 0       # its retire so _active stays exact
     assert r.done.is_set() and r.error is None
     assert r.result is not None and r.result[:4] == b"MThd"
     assert not job.parts

@@ -474,6 +474,35 @@ def test_sharded_staging_wrap_pad_matches_dense(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_segment_epoch_stages_one_ahead_only(tmp_path, monkeypatch):
+    """The segment path prefetches with depth=1 — the scan's current
+    segment plus ONE staged ahead is exactly the two-buffer budget
+    _seg_steps is sized for.  The default depth=2 would keep a THIRD
+    segment resident, ~1.5x the declared epoch_scan_max_bytes on a real
+    HBM budget (review r5 finding)."""
+    import music_generator_tpu.training.trainer as tr
+    depths = []
+    real = tr.prefetch
+
+    def spy(items, fn, depth=2):
+        depths.append(depth)
+        return real(items, fn, depth=depth)
+
+    monkeypatch.setattr(tr, "prefetch", spy)
+    cfg = small_config(batch_size=4, out_dir=str(tmp_path / "d"))
+    ds = _synthetic_dataset(cfg, n=12)
+    per_batch = sum(int(a.nbytes) // len(ds) for a in
+                    (ds.notes, ds.targets, ds.beats, ds.styles)) * 4
+    t = Trainer(DeepJ(cfg), TrainConfig(epochs=1, tensorboard=False,
+                                        checkpoint=False, log_every=1,
+                                        epoch_scan_mode="segments",
+                                        epoch_scan_max_bytes=4 * per_batch),
+                mesh=make_mesh(jax.devices()[:1]))
+    h = t.fit(ds)
+    assert h["epoch_scan_mode"] == "segments"
+    assert depths and all(d == 1 for d in depths)
+
+
 def test_segment_epoch_matches_streaming_exactly(tmp_path):
     """The segment-staged path consumes the IDENTICAL batch stream as the
     per-step streaming path (epoch_permutation is shared), including a
